@@ -1,0 +1,235 @@
+"""Tests for the clean-room chemistry layer (SMILES, valence, rings,
+scaffolds, BRICS cliques)."""
+
+import pytest
+
+from molclr_tpu.chem import (
+    BondDir,
+    BondType,
+    Chirality,
+    brics_decompose,
+    canonical_smiles,
+    murcko_scaffold_smiles,
+    parse_smiles,
+)
+from molclr_tpu.chem.mol import mol_formula
+from molclr_tpu.chem.smiles import SmilesError
+
+
+class TestParser:
+    def test_ethanol(self):
+        m = parse_smiles("CCO")
+        assert m.num_atoms == 3
+        assert m.num_bonds == 2
+        assert [a.atomic_num for a in m.atoms] == [6, 6, 8]
+        assert m.implicit_hs(0) == 3
+        assert m.implicit_hs(1) == 2
+        assert m.implicit_hs(2) == 1
+
+    def test_benzene_aromatic(self):
+        m = parse_smiles("c1ccccc1")
+        assert m.num_atoms == 6
+        assert m.num_bonds == 6
+        assert all(a.is_aromatic for a in m.atoms)
+        assert all(b.bond_type == BondType.AROMATIC for b in m.bonds)
+        assert all(m.implicit_hs(i) == 1 for i in range(6))
+        assert all(m.ring_atom_flags())
+
+    def test_pyridine_hs(self):
+        m = parse_smiles("c1ccncc1")
+        n_idx = [i for i, a in enumerate(m.atoms) if a.atomic_num == 7][0]
+        assert m.implicit_hs(n_idx) == 0
+
+    def test_bond_orders(self):
+        m = parse_smiles("C=C")
+        assert m.bonds[0].bond_type == BondType.DOUBLE
+        assert m.implicit_hs(0) == 2
+        m = parse_smiles("C#N")
+        assert m.bonds[0].bond_type == BondType.TRIPLE
+        assert m.implicit_hs(0) == 1
+        assert m.implicit_hs(1) == 0
+
+    def test_branches(self):
+        m = parse_smiles("CC(C)(C)C")  # neopentane
+        assert m.num_atoms == 5
+        assert sorted(len(m.neighbors(i)) for i in range(5)) == [1, 1, 1, 1, 4]
+
+    def test_charges(self):
+        m = parse_smiles("[NH4+]")
+        assert m.atoms[0].formal_charge == 1
+        assert m.atoms[0].explicit_hs == 4
+        m = parse_smiles("[O-]C")
+        assert m.atoms[0].formal_charge == -1
+        m = parse_smiles("[Fe+2]")
+        assert m.atoms[0].formal_charge == 2
+        m = parse_smiles("[O--]")
+        assert m.atoms[0].formal_charge == -2
+
+    def test_chirality(self):
+        m = parse_smiles("C[C@H](N)C(=O)O")  # L-alanine
+        assert m.atoms[1].chirality == Chirality.TETRAHEDRAL_CCW
+        m = parse_smiles("C[C@@H](N)C(=O)O")
+        assert m.atoms[1].chirality == Chirality.TETRAHEDRAL_CW
+
+    def test_bond_dirs(self):
+        m = parse_smiles("F/C=C/F")  # trans-difluoroethene
+        dirs = [b.bond_dir for b in m.bonds]
+        assert dirs.count(BondDir.ENDUPRIGHT) == 2
+        m = parse_smiles(r"F/C=C\F")
+        dirs = [b.bond_dir for b in m.bonds]
+        assert BondDir.ENDUPRIGHT in dirs and BondDir.ENDDOWNRIGHT in dirs
+
+    def test_ring_closures(self):
+        m = parse_smiles("C1CC1")  # cyclopropane
+        assert m.num_bonds == 3
+        m = parse_smiles("C%10CC%10")
+        assert m.num_bonds == 3
+
+    def test_fused_rings(self):
+        m = parse_smiles("c1ccc2ccccc2c1")  # naphthalene
+        assert m.num_atoms == 10
+        assert m.num_bonds == 11
+        # fusion carbons have no H
+        hs = [m.implicit_hs(i) for i in range(10)]
+        assert hs.count(0) == 2 and hs.count(1) == 8
+
+    def test_two_char_elements(self):
+        m = parse_smiles("ClCCBr")
+        assert [a.atomic_num for a in m.atoms] == [17, 6, 6, 35]
+        m = parse_smiles("[Na+].[Cl-]")
+        assert m.num_atoms == 2 and m.num_bonds == 0
+
+    def test_isotope_and_map(self):
+        m = parse_smiles("[13CH4]")
+        assert m.atoms[0].isotope == 13
+        assert m.atoms[0].explicit_hs == 4
+        m = parse_smiles("[CH3:7]O")
+        assert m.atoms[0].atom_map == 7
+
+    def test_errors(self):
+        for bad in ["C1CC", "C(", "C)", "[C", "", "Cx", "[Xx]"]:
+            with pytest.raises(SmilesError):
+                parse_smiles(bad)
+        assert parse_smiles("C1CC", strict=False) is None
+
+    def test_real_molecules(self):
+        # aspirin
+        m = parse_smiles("CC(=O)Oc1ccccc1C(=O)O")
+        assert m.num_atoms == 13
+        assert mol_formula(m) == "C9H8O4"
+        # caffeine
+        m = parse_smiles("Cn1cnc2c1c(=O)n(C)c(=O)n2C")
+        assert m.num_atoms == 14
+        assert mol_formula(m) == "C8H10N4O2"
+        # ibuprofen
+        m = parse_smiles("CC(C)Cc1ccc(cc1)C(C)C(=O)O")
+        assert mol_formula(m) == "C13H18O2"
+
+    def test_add_hs(self):
+        m = parse_smiles("CO")
+        mh = m.add_hs()
+        assert mh.num_atoms == 2 + 4 + 0  # CH3 + OH -> wait: 3 + 1 H
+        assert sum(1 for a in mh.atoms if a.atomic_num == 1) == 4
+        assert mh.num_bonds == 1 + 4
+
+    def test_ring_flags(self):
+        m = parse_smiles("C1CC1CC")  # cyclopropane + ethyl tail
+        flags = m.ring_atom_flags()
+        assert flags == [True, True, True, False, False]
+        bond_flags = m.ring_bond_flags()
+        assert sum(bond_flags) == 3
+
+
+class TestCanonical:
+    @pytest.mark.parametrize("variants", [
+        ["CCO", "OCC", "C(O)C"],
+        ["c1ccccc1", "c1ccccc1"],
+        ["CC(=O)Oc1ccccc1C(=O)O", "OC(=O)c1ccccc1OC(C)=O"],
+        ["CN1C=NC2=C1C(=O)N(C)C(=O)N2C", "CN1C=NC2=C1C(=O)N(C)C(=O)N2C"],
+        ["C1CCCCC1", "C2CCCCC2"],
+        ["N[C@@H](C)C(=O)O", "C([C@H](N)C)(=O)O"],  # stereo dropped
+    ])
+    def test_invariance(self, variants):
+        keys = {canonical_smiles(parse_smiles(s)) for s in variants}
+        assert len(keys) == 1
+
+    def test_roundtrip(self):
+        for s in ["CCO", "c1ccccc1", "CC(=O)Oc1ccccc1C(=O)O",
+                  "C1CC2CCC1CC2", "O=C(O)CN", "[O-]S(=O)(=O)c1ccccc1",
+                  "FC(F)(F)c1ccc(Cl)cc1"]:
+            m = parse_smiles(s)
+            c1 = canonical_smiles(m)
+            m2 = parse_smiles(c1)
+            c2 = canonical_smiles(m2)
+            assert c1 == c2, f"round-trip failed for {s}: {c1!r} != {c2!r}"
+            assert mol_formula(m) == mol_formula(m2)
+
+    def test_distinct_molecules_distinct_keys(self):
+        mols = ["CCO", "CCC", "CCN", "c1ccccc1", "C1CCCCC1", "CC(=O)O"]
+        keys = {canonical_smiles(parse_smiles(s)) for s in mols}
+        assert len(keys) == len(mols)
+
+
+class TestScaffold:
+    def test_toluene_to_benzene(self):
+        tol = murcko_scaffold_smiles(parse_smiles("Cc1ccccc1"))
+        benz = murcko_scaffold_smiles(parse_smiles("c1ccccc1"))
+        assert tol == benz != ""
+
+    def test_acyclic_empty(self):
+        assert murcko_scaffold_smiles(parse_smiles("CCCCO")) == ""
+
+    def test_linker_kept(self):
+        # benzylbenzene: two rings + CH2 linker kept
+        m = parse_smiles("c1ccccc1Cc1ccccc1")
+        scaf = murcko_scaffold_smiles(m)
+        m2 = parse_smiles("c1ccccc1C(CCC)c1ccccc1")  # side chain dropped
+        assert murcko_scaffold_smiles(m2) == scaf
+
+    def test_exocyclic_carbonyl_kept(self):
+        a = murcko_scaffold_smiles(parse_smiles("O=C1CCCCC1"))
+        b = murcko_scaffold_smiles(parse_smiles("C1CCCCC1"))
+        assert a != b
+
+    def test_same_scaffold_groups(self):
+        group = ["c1ccccc1CC", "c1ccccc1CCC", "c1ccccc1C(C)C"]
+        keys = {murcko_scaffold_smiles(parse_smiles(s)) for s in group}
+        assert len(keys) == 1
+
+
+class TestBrics:
+    def test_single_atom(self):
+        cliques, edges = brics_decompose(parse_smiles("C"))
+        assert cliques == [[0]] and edges == []
+
+    def test_no_cut_whole_molecule(self):
+        # ethane: no cleavable bonds -> one clique (ref utils/clique.py:24-25)
+        cliques, edges = brics_decompose(parse_smiles("CC"))
+        assert cliques == [[0, 1]] and edges == []
+
+    def test_amide_cut(self):
+        # N-methylacetamide CC(=O)NC: amide bond cleaved
+        cliques, edges = brics_decompose(parse_smiles("CC(=O)NC"))
+        assert len(cliques) >= 2
+        assert len(edges) >= 1
+        # every atom appears exactly once
+        flat = sorted(a for c in cliques for a in c)
+        assert flat == list(range(5))
+
+    def test_ring_junction(self):
+        # ethylbenzene: ring-attachment cut separates ring from ethyl
+        m = parse_smiles("CCc1ccccc1")
+        cliques, edges = brics_decompose(m)
+        ring = {i for i, f in enumerate(m.ring_atom_flags()) if f}
+        assert any(set(c) == ring for c in cliques)
+
+    def test_partition_property(self):
+        for s in ["CC(=O)Oc1ccccc1C(=O)O", "CC(C)Cc1ccc(cc1)C(C)C(=O)O",
+                  "Cn1cnc2c1c(=O)n(C)c(=O)n2C",
+                  "CC(=O)Nc1ccc(O)cc1", "O=S(=O)(N)c1ccccc1"]:
+            m = parse_smiles(s)
+            cliques, edges = brics_decompose(m)
+            flat = sorted(a for c in cliques for a in c)
+            assert flat == list(range(m.num_atoms)), s
+            for c1, c2 in edges:
+                assert 0 <= c1 < len(cliques) and 0 <= c2 < len(cliques)

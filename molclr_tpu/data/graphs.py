@@ -1,0 +1,211 @@
+"""Flat-packed, statically-shaped batched molecular graphs.
+
+This is the framework's replacement for PyG `Data`/`Batch` (used by the
+reference at dataset/dataset.py:17,132) — redesigned for XLA: every batch of B
+molecules is packed into ONE padded graph with static shapes, so a training
+step compiles once per PadSpec bucket.
+
+Two adjacency views are carried:
+
+  COO  (`src/dst/bond_type/bond_dir/edge_mask` over [n_edges])
+       featurization-parity view; bond k of molecule g occupies directed rows
+       2k/2k+1 (+ offset), mirroring the reference layout
+       (dataset/dataset.py:93-106).
+
+  ELL  (`nbr*` over [n_nodes, K]) the TPU-native aggregation view: per-node
+       padded neighbor lists. Slot 0 is the self-loop the reference models add
+       per conv layer (models/ginet_molclr.py:31-37; bond type 4, dir 0).
+       Neighborhood aggregation becomes K static row-gathers + a masked sum —
+       no scatter — which vectorizes on the VPU and feeds the MXU-friendly
+       dense update MLPs. `nbr_bond` holds the undirected bond id so on-device
+       bond-deletion augmentation can kill both directions of a bond with one
+       boolean table lookup; self-loop/padding slots point at a sentinel bond
+       id (`n_bonds`) that augmentations never delete.
+
+Padding contract:
+  - padded nodes: atom_type 0, node_mask False, node_graph 0 (consumers mask
+    features before pooling);
+  - padded edges: src/dst 0, edge_mask False;
+  - padded graphs: graph_mask False, graph_n_nodes 0.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from flax import struct
+
+from molclr_tpu.data.featurize import MolGraph, SELF_LOOP_BOND_TYPE
+
+
+@dataclass(frozen=True)
+class PadSpec:
+    """Static bucket shape. K = max_degree + 1 ELL slots (slot 0 = self)."""
+
+    n_graphs: int
+    n_nodes: int
+    n_edges: int       # directed edge capacity (2x bond capacity)
+    max_degree: int = 6
+
+    @property
+    def n_bonds(self) -> int:
+        return self.n_edges // 2
+
+    @property
+    def ell_slots(self) -> int:
+        return self.max_degree + 1
+
+    @staticmethod
+    def for_molecules(n_graphs: int, avg_nodes: int = 32, avg_degree: float = 2.2,
+                      max_degree: int = 6, slack: float = 1.0) -> "PadSpec":
+        n_nodes = int(n_graphs * avg_nodes * slack)
+        n_edges = 2 * int(n_nodes * avg_degree / 2 + n_graphs)
+        return PadSpec(n_graphs, n_nodes, n_edges, max_degree)
+
+
+@struct.dataclass
+class GraphBatch:
+    """Pytree of numpy/jax arrays; usable directly inside jit."""
+
+    # node view [n_nodes]
+    atom_type: np.ndarray      # int32
+    chirality: np.ndarray      # int32
+    node_graph: np.ndarray     # int32, graph id per node
+    node_mask: np.ndarray      # bool
+
+    # COO edge view [n_edges]
+    src: np.ndarray            # int32
+    dst: np.ndarray            # int32
+    bond_type: np.ndarray      # int32
+    bond_dir: np.ndarray       # int32
+    edge_bond: np.ndarray      # int32, undirected bond id (sentinel n_bonds)
+    edge_mask: np.ndarray      # bool
+
+    # ELL view [n_nodes, K]
+    nbr: np.ndarray            # int32, neighbor node index (self at slot 0)
+    nbr_bond_type: np.ndarray  # int32
+    nbr_bond_dir: np.ndarray   # int32
+    nbr_bond: np.ndarray       # int32, undirected bond id
+    nbr_mask: np.ndarray       # bool
+
+    # graph view [n_graphs]
+    graph_mask: np.ndarray     # bool
+    graph_n_nodes: np.ndarray  # int32 (real atoms per graph)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.atom_type.shape[-1]
+
+    @property
+    def num_edges(self) -> int:
+        return self.src.shape[-1]
+
+    @property
+    def num_graphs(self) -> int:
+        return self.graph_mask.shape[-1]
+
+    @property
+    def num_bonds(self) -> int:
+        return self.num_edges // 2
+
+
+class PackOverflow(ValueError):
+    pass
+
+
+def pack_batch(graphs: list[MolGraph], spec: PadSpec) -> GraphBatch:
+    """Pack molecules into one padded GraphBatch.
+
+    Raises PackOverflow if the molecules exceed the bucket's node/edge/graph
+    capacity or a node exceeds max_degree (callers pre-filter via
+    MolGraph.max_degree; PubChem organic molecules rarely exceed degree 6)."""
+    if len(graphs) > spec.n_graphs:
+        raise PackOverflow(f"{len(graphs)} graphs > capacity {spec.n_graphs}")
+    total_nodes = sum(g.n_atoms for g in graphs)
+    total_edges = sum(g.edge_src.shape[0] for g in graphs)
+    if total_nodes > spec.n_nodes:
+        raise PackOverflow(f"{total_nodes} nodes > capacity {spec.n_nodes}")
+    if total_edges > spec.n_edges:
+        raise PackOverflow(f"{total_edges} edges > capacity {spec.n_edges}")
+
+    N, E, G, K = spec.n_nodes, spec.n_edges, spec.n_graphs, spec.ell_slots
+    B = spec.n_bonds
+
+    atom_type = np.zeros(N, np.int32)
+    chirality = np.zeros(N, np.int32)
+    node_graph = np.zeros(N, np.int32)
+    node_mask = np.zeros(N, bool)
+
+    src = np.zeros(E, np.int32)
+    dst = np.zeros(E, np.int32)
+    bond_type = np.zeros(E, np.int32)
+    bond_dir = np.zeros(E, np.int32)
+    edge_bond = np.full(E, B, np.int32)
+    edge_mask = np.zeros(E, bool)
+
+    nbr = np.zeros((N, K), np.int32)
+    nbr_bt = np.zeros((N, K), np.int32)
+    nbr_bd = np.zeros((N, K), np.int32)
+    nbr_bond = np.full((N, K), B, np.int32)
+    nbr_mask = np.zeros((N, K), bool)
+
+    graph_mask = np.zeros(G, bool)
+    graph_n_nodes = np.zeros(G, np.int32)
+
+    node_off = 0
+    edge_off = 0
+    bond_off = 0
+    for gi, g in enumerate(graphs):
+        n, e = g.n_atoms, g.edge_src.shape[0]
+        sl_n = slice(node_off, node_off + n)
+        atom_type[sl_n] = g.atom_type
+        chirality[sl_n] = g.chirality
+        node_graph[sl_n] = gi
+        node_mask[sl_n] = True
+
+        sl_e = slice(edge_off, edge_off + e)
+        src[sl_e] = g.edge_src + node_off
+        dst[sl_e] = g.edge_dst + node_off
+        bond_type[sl_e] = g.bond_type
+        bond_dir[sl_e] = g.bond_dir
+        edge_bond[sl_e] = bond_off + np.arange(e, dtype=np.int32) // 2
+        edge_mask[sl_e] = True
+
+        # ELL: slot 0 self-loop, then in-edges in featurization order.
+        fill = np.ones(n, np.int32)  # next free slot per local node
+        nbr[sl_n, 0] = np.arange(node_off, node_off + n, dtype=np.int32)
+        nbr_bt[sl_n, 0] = SELF_LOOP_BOND_TYPE
+        nbr_bd[sl_n, 0] = 0
+        nbr_mask[sl_n, 0] = True
+        for k in range(e):
+            d = int(g.edge_dst[k])
+            s = fill[d]
+            if s >= K:
+                raise PackOverflow(
+                    f"node degree {s} exceeds max_degree {spec.max_degree} "
+                    f"in graph {gi}"
+                )
+            fill[d] = s + 1
+            row = node_off + d
+            nbr[row, s] = node_off + int(g.edge_src[k])
+            nbr_bt[row, s] = int(g.bond_type[k])
+            nbr_bd[row, s] = int(g.bond_dir[k])
+            nbr_bond[row, s] = bond_off + k // 2
+            nbr_mask[row, s] = True
+
+        graph_mask[gi] = True
+        graph_n_nodes[gi] = n
+        node_off += n
+        edge_off += e
+        bond_off += e // 2
+
+    return GraphBatch(
+        atom_type=atom_type, chirality=chirality, node_graph=node_graph,
+        node_mask=node_mask,
+        src=src, dst=dst, bond_type=bond_type, bond_dir=bond_dir,
+        edge_bond=edge_bond, edge_mask=edge_mask,
+        nbr=nbr, nbr_bond_type=nbr_bt, nbr_bond_dir=nbr_bd,
+        nbr_bond=nbr_bond, nbr_mask=nbr_mask,
+        graph_mask=graph_mask, graph_n_nodes=graph_n_nodes,
+    )

@@ -1,11 +1,12 @@
 """Test config: run JAX on CPU with 8 virtual devices so multi-chip sharding
-(mesh/pjit/shard_map) is exercised without TPU hardware."""
+(mesh/pjit/shard_map) is exercised without TPU hardware.
 
-import os
+Uses the jax.config API rather than JAX_PLATFORMS/XLA_FLAGS env vars: this
+image injects an `axon` TPU PJRT plugin via sitecustomize that ignores
+JAX_PLATFORMS=cpu and hangs when --xla_force_host_platform_device_count is
+set. jax.config.update takes precedence and is fast."""
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

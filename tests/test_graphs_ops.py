@@ -1,0 +1,195 @@
+"""Tests: featurization parity, batch packing invariants, aggregation ops
+against dense numpy oracles."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from molclr_tpu.chem import parse_smiles
+from molclr_tpu.data import (
+    MASK_ATOM_TYPE,
+    PadSpec,
+    SELF_LOOP_BOND_TYPE,
+    featurize_smiles,
+    pack_batch,
+)
+from molclr_tpu.data.graphs import PackOverflow
+from molclr_tpu.ops import (
+    coo_aggregate,
+    ell_aggregate,
+    graph_pool,
+    segment_softmax,
+)
+
+SMILES = ["CCO", "c1ccccc1", "CC(=O)Oc1ccccc1C(=O)O", "C", "N#Cc1ccccc1"]
+
+
+def build_batch(smiles=SMILES, spec=None):
+    graphs = [featurize_smiles(s) for s in smiles]
+    assert all(g is not None for g in graphs)
+    if spec is None:
+        spec = PadSpec(n_graphs=8, n_nodes=64, n_edges=128, max_degree=6)
+    return graphs, pack_batch(graphs, spec), spec
+
+
+class TestFeaturize:
+    def test_ethanol_tables(self):
+        g = featurize_smiles("CCO")
+        # atom type = Z - 1 (ref dataset/dataset.py:75: ATOM_LIST.index)
+        assert g.atom_type.tolist() == [5, 5, 7]
+        assert g.chirality.tolist() == [0, 0, 0]
+        # both directions consecutive (ref dataset/dataset.py:95-106)
+        assert g.edge_src.tolist() == [0, 1, 1, 2]
+        assert g.edge_dst.tolist() == [1, 0, 2, 1]
+        assert g.bond_type.tolist() == [0, 0, 0, 0]
+
+    def test_bond_types(self):
+        g = featurize_smiles("C=C")
+        assert g.bond_type.tolist() == [1, 1]
+        g = featurize_smiles("c1ccccc1")
+        assert set(g.bond_type.tolist()) == {3}
+
+    def test_chirality_featurized(self):
+        g = featurize_smiles("C[C@H](N)C(=O)O")
+        assert 2 in g.chirality.tolist()  # CCW
+        g = featurize_smiles("C[C@@H](N)C(=O)O")
+        assert 1 in g.chirality.tolist()  # CW
+
+    def test_add_hs(self):
+        g = featurize_smiles("C", add_hs=True)
+        assert g.n_atoms == 5
+        assert g.atom_type.tolist() == [5, 0, 0, 0, 0]
+        assert g.n_bonds == 4
+
+    def test_invalid_none(self):
+        assert featurize_smiles("not_a_smiles((") is None
+
+
+class TestPack:
+    def test_offsets_and_masks(self):
+        graphs, batch, spec = build_batch()
+        n_tot = sum(g.n_atoms for g in graphs)
+        e_tot = sum(g.edge_src.shape[0] for g in graphs)
+        assert batch.node_mask.sum() == n_tot
+        assert batch.edge_mask.sum() == e_tot
+        assert batch.graph_mask.sum() == len(graphs)
+        assert batch.graph_n_nodes[: len(graphs)].tolist() == [
+            g.n_atoms for g in graphs
+        ]
+        # node_graph sorted ascending over real nodes
+        ng = batch.node_graph[batch.node_mask]
+        assert (np.diff(ng) >= 0).all()
+
+    def test_ell_self_loop_slot(self):
+        _, batch, _ = build_batch()
+        real = batch.node_mask
+        assert (batch.nbr[real, 0] == np.arange(batch.num_nodes)[real]).all()
+        assert (batch.nbr_bond_type[real, 0] == SELF_LOOP_BOND_TYPE).all()
+        assert batch.nbr_mask[real, 0].all()
+        # self-loop bond id is the sentinel (never deleted by augmentation)
+        assert (batch.nbr_bond[real, 0] == batch.num_bonds).all()
+
+    def test_ell_matches_coo(self):
+        graphs, batch, _ = build_batch()
+        # every real COO edge appears exactly once in the ELL view
+        ell_pairs = set()
+        for n in range(batch.num_nodes):
+            for k in range(1, batch.nbr.shape[1]):
+                if batch.nbr_mask[n, k]:
+                    ell_pairs.add((int(batch.nbr[n, k]), n))
+        coo_pairs = {
+            (int(s), int(d))
+            for s, d, m in zip(batch.src, batch.dst, batch.edge_mask)
+            if m
+        }
+        assert ell_pairs == coo_pairs
+
+    def test_overflow(self):
+        graphs = [featurize_smiles("CCO")] * 3
+        with pytest.raises(PackOverflow):
+            pack_batch(graphs, PadSpec(n_graphs=2, n_nodes=64, n_edges=64))
+        with pytest.raises(PackOverflow):
+            pack_batch(graphs, PadSpec(n_graphs=4, n_nodes=5, n_edges=64))
+
+    def test_degree_overflow(self):
+        g = featurize_smiles("FC(F)(F)F")  # central C degree 4
+        pack_batch([g], PadSpec(1, 8, 16, max_degree=4))
+        with pytest.raises(PackOverflow):
+            pack_batch([g], PadSpec(1, 8, 16, max_degree=3))
+
+
+class TestAggregate:
+    def rand_h(self, batch, d=16, seed=0):
+        rng = np.random.RandomState(seed)
+        h = rng.randn(batch.num_nodes, d).astype(np.float32)
+        return h * batch.node_mask[:, None]
+
+    def dense_oracle(self, batch, h, edge_emb_coo, self_emb):
+        """Dense numpy aggregation: A @ (h + e) with explicit loops."""
+        out = np.zeros_like(h)
+        for e in range(batch.num_edges):
+            if not batch.edge_mask[e]:
+                continue
+            out[batch.dst[e]] += h[batch.src[e]] + edge_emb_coo[e]
+        for n in range(batch.num_nodes):
+            if batch.node_mask[n]:
+                out[n] += h[n] + self_emb
+        return out
+
+    def test_ell_equals_coo_equals_dense(self):
+        _, batch, _ = build_batch()
+        d = 16
+        h = self.rand_h(batch, d)
+        rng = np.random.RandomState(1)
+        # edge embedding tables indexed by bond type/dir
+        t_type = rng.randn(5, d).astype(np.float32)
+        t_dir = rng.randn(3, d).astype(np.float32)
+        e_coo = t_type[batch.bond_type] + t_dir[batch.bond_dir]
+        self_emb = t_type[SELF_LOOP_BOND_TYPE] + t_dir[0]
+        e_ell = t_type[batch.nbr_bond_type] + t_dir[batch.nbr_bond_dir]
+
+        dense = self.dense_oracle(batch, h, e_coo, self_emb)
+        ell = np.asarray(ell_aggregate(jnp.array(h), jnp.array(batch.nbr),
+                                       jnp.array(batch.nbr_mask),
+                                       jnp.array(e_ell)))
+        coo = np.asarray(coo_aggregate(
+            jnp.array(h), jnp.array(batch.src), jnp.array(batch.dst),
+            jnp.array(batch.edge_mask), batch.num_nodes,
+            jnp.array(e_coo), jnp.array(self_emb),
+            jnp.array(batch.node_mask)))
+        np.testing.assert_allclose(ell, dense, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(coo, dense, rtol=1e-5, atol=1e-5)
+
+    def test_pool_methods(self):
+        graphs, batch, spec = build_batch()
+        h = self.rand_h(batch, 8)
+        for method in ["mean", "add", "max"]:
+            out = np.asarray(graph_pool(
+                jnp.array(h), jnp.array(batch.node_graph),
+                jnp.array(batch.node_mask), spec.n_graphs,
+                jnp.array(batch.graph_n_nodes), method))
+            for gi, g in enumerate(graphs):
+                rows = h[(batch.node_graph == gi) & batch.node_mask]
+                if method == "mean":
+                    ref = rows.mean(axis=0)
+                elif method == "add":
+                    ref = rows.sum(axis=0)
+                else:
+                    ref = rows.max(axis=0)
+                np.testing.assert_allclose(out[gi], ref, rtol=1e-5,
+                                           atol=1e-5)
+            # padded graph rows are exactly zero
+            assert np.abs(out[len(graphs):]).max() == 0
+
+    def test_segment_softmax(self):
+        ids = jnp.array([0, 0, 0, 1, 1, 2, 2, 2])
+        mask = jnp.array([1, 1, 1, 1, 1, 1, 0, 1], dtype=bool)
+        logits = jnp.array([1.0, 2.0, 3.0, -1.0, 1.0, 0.0, 99.0, 0.0])
+        out = np.asarray(segment_softmax(logits, ids, 4, mask))
+        # per-segment sums = 1 over unmasked entries
+        np.testing.assert_allclose(out[:3].sum(), 1.0, rtol=1e-6)
+        np.testing.assert_allclose(out[3:5].sum(), 1.0, rtol=1e-6)
+        np.testing.assert_allclose(out[5] + out[7], 1.0, rtol=1e-6)
+        assert out[6] == 0.0
+        ref = np.exp([1, 2, 3]) / np.exp([1, 2, 3]).sum()
+        np.testing.assert_allclose(out[:3], ref, rtol=1e-5)

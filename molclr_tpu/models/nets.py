@@ -1,0 +1,198 @@
+"""Encoder trunks and task heads.
+
+Shapes/semantics pinned to the reference:
+  trunk    h = Emb_type(x0) + Emb_chir(x1); num_layer x [conv -> BN ->
+           dropout(relu) (no relu on last)]; pool; feat_lin
+           (ginet_molclr.py:98-114, gcn_molclr.py:139-155)
+  MolCLR   projection head 512 -> 512 -> relu -> 256, returns (h, z)
+           (ginet_molclr.py:92-96,117)
+  FineTune pred head 512 -> 256 -> act [xN] -> out_dim, out_dim 2/1
+           (ginet_finetune.py:96-127)
+  Motif    motif_embedding(num_motifs, 512); GlobalAttention pool with
+           gate = Linear(512, 1) over each molecule's motifs + its own
+           pooled feature; motif_lin; pred head on cat(h, hp) [1024]
+           (ginet_finetune_mp.py:79,104-107,141-165)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from molclr_tpu.data.featurize import NUM_ATOM_TYPES, NUM_CHIRALITY
+from molclr_tpu.models.layers import (
+    GCNConv,
+    GINEConv,
+    MaskedBatchNorm,
+    dense,
+    xavier_uniform_embed,
+)
+from molclr_tpu.ops.segment import graph_pool
+
+
+class GNNTrunk(nn.Module):
+    """Shared encoder trunk producing node embeddings [N, emb_dim]."""
+
+    num_layers: int = 5
+    emb_dim: int = 300
+    gnn_type: str = "gin"           # 'gin' | 'gcn'
+    drop_ratio: float = 0.0
+    bn_axis_name: str | None = None
+    normalize_gcn: bool = False     # True fixes quirk Q2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        emb1 = self.param("x_embedding1", xavier_uniform_embed,
+                          (NUM_ATOM_TYPES, self.emb_dim))
+        emb2 = self.param("x_embedding2", xavier_uniform_embed,
+                          (NUM_CHIRALITY, self.emb_dim))
+        h = (jnp.take(emb1, batch.atom_type, axis=0)
+             + jnp.take(emb2, batch.chirality, axis=0)).astype(self.dtype)
+        h = jnp.where(batch.node_mask[:, None], h, 0)
+
+        for layer in range(self.num_layers):
+            if self.gnn_type == "gin":
+                h = GINEConv(self.emb_dim, name=f"conv_{layer}")(h, batch)
+            elif self.gnn_type == "gcn":
+                h = GCNConv(self.emb_dim, normalize=self.normalize_gcn,
+                            name=f"conv_{layer}")(h, batch)
+            else:
+                raise ValueError(f"unknown gnn_type {self.gnn_type!r}")
+            h = MaskedBatchNorm(axis_name=self.bn_axis_name,
+                                name=f"bn_{layer}")(h, batch.node_mask, train)
+            if layer != self.num_layers - 1:
+                h = nn.relu(h)
+            h = nn.Dropout(self.drop_ratio, deterministic=not train)(h)
+        return h
+
+
+class MolCLRNet(nn.Module):
+    """Pretraining network: trunk + pool + feat_lin + projection head."""
+
+    num_layers: int = 5
+    emb_dim: int = 300
+    feat_dim: int = 512
+    gnn_type: str = "gin"
+    pool: str = "mean"
+    drop_ratio: float = 0.0
+    bn_axis_name: str | None = None
+    normalize_gcn: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        h = GNNTrunk(self.num_layers, self.emb_dim, self.gnn_type,
+                     self.drop_ratio, self.bn_axis_name, self.normalize_gcn,
+                     self.dtype, name="trunk")(batch, train)
+        hg = graph_pool(h, batch.node_graph, batch.node_mask,
+                        batch.num_graphs, batch.graph_n_nodes, self.pool)
+        hg = dense(self.feat_dim, name="feat_lin",
+                   in_features=self.emb_dim)(hg)
+        z = dense(self.feat_dim, name="out_lin_0",
+                  in_features=self.feat_dim)(hg)
+        z = nn.relu(z)
+        z = dense(self.feat_dim // 2, name="out_lin_1",
+                  in_features=self.feat_dim)(z)
+        return hg, z
+
+
+def _pred_head(h, feat_in: int, feat_dim: int, out_dim: int,
+               pred_n_layer: int, pred_act: str):
+    act = {"softplus": nn.softplus, "relu": nn.relu}[pred_act]
+    half = feat_dim // 2
+    h = dense(half, name="pred_0", in_features=feat_in)(h)
+    h = act(h)
+    for i in range(1, max(1, pred_n_layer)):
+        h = dense(half, name=f"pred_{i}", in_features=half)(h)
+        h = act(h)
+    return dense(out_dim, name="pred_out", in_features=half)(h)
+
+
+class FineTuneNet(nn.Module):
+    """Fine-tune network: trunk + pool + feat_lin + prediction head."""
+
+    task: str = "classification"    # out_dim 2 (logits) | 'regression' -> 1
+    num_layers: int = 5
+    emb_dim: int = 300
+    feat_dim: int = 512
+    gnn_type: str = "gin"
+    pool: str = "mean"
+    drop_ratio: float = 0.0
+    pred_n_layer: int = 2
+    pred_act: str = "softplus"
+    bn_axis_name: str | None = None
+    normalize_gcn: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        h = GNNTrunk(self.num_layers, self.emb_dim, self.gnn_type,
+                     self.drop_ratio, self.bn_axis_name, self.normalize_gcn,
+                     self.dtype, name="trunk")(batch, train)
+        hg = graph_pool(h, batch.node_graph, batch.node_mask,
+                        batch.num_graphs, batch.graph_n_nodes, self.pool)
+        hg = dense(self.feat_dim, name="feat_lin",
+                   in_features=self.emb_dim)(hg)
+        out_dim = 2 if self.task == "classification" else 1
+        pred = _pred_head(hg, self.feat_dim, self.feat_dim, out_dim,
+                          self.pred_n_layer, self.pred_act)
+        return hg, pred
+
+
+class MotifFineTuneNet(nn.Module):
+    """Fine-tune network with the fork's motif message-passing head.
+
+    Extra inputs: motif_ids [G, C] (indices into the motif vocabulary) and
+    motif_mask [G, C]. Each molecule's attention segment is its C motif
+    embeddings plus its own pooled feature (the row the reference appends at
+    finetune.py:208), pooled with softmax(gate) weights
+    (PyG GlobalAttention semantics, ginet_finetune_mp.py:107,158-161)."""
+
+    num_motifs: int = 1
+    task: str = "classification"
+    num_layers: int = 5
+    emb_dim: int = 300
+    feat_dim: int = 512
+    gnn_type: str = "gin"
+    pool: str = "mean"
+    drop_ratio: float = 0.0
+    pred_n_layer: int = 2
+    pred_act: str = "softplus"
+    bn_axis_name: str | None = None
+    normalize_gcn: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, batch, motif_ids, motif_mask, train: bool = False):
+        h = GNNTrunk(self.num_layers, self.emb_dim, self.gnn_type,
+                     self.drop_ratio, self.bn_axis_name, self.normalize_gcn,
+                     self.dtype, name="trunk")(batch, train)
+        hg = graph_pool(h, batch.node_graph, batch.node_mask,
+                        batch.num_graphs, batch.graph_n_nodes, self.pool)
+        hg = dense(self.feat_dim, name="feat_lin",
+                   in_features=self.emb_dim)(hg)
+
+        # torch nn.Embedding default init is N(0,1); normally overwritten by
+        # init_motif_emb with encoder features of the clique fragments.
+        motif_table = self.param("motif_embedding",
+                                 nn.initializers.normal(1.0),
+                                 (self.num_motifs, self.feat_dim))
+        me = jnp.take(motif_table, motif_ids, axis=0)       # [G, C, F]
+        slots = jnp.concatenate([me, hg[:, None, :]], axis=1)  # [G, C+1, F]
+        slot_mask = jnp.concatenate(
+            [motif_mask, batch.graph_mask[:, None]], axis=1)   # [G, C+1]
+
+        gate = dense(1, name="motif_gate",
+                     in_features=self.feat_dim)(slots)[..., 0]  # [G, C+1]
+        gate = jnp.where(slot_mask, gate, -1e30)
+        alpha = nn.softmax(gate, axis=-1)
+        hp = (alpha[..., None] * slots).sum(axis=1)            # [G, F]
+        hp = nn.Dense(self.feat_dim, name="motif_lin",
+                      kernel_init=nn.initializers.xavier_uniform())(hp)
+
+        cat = jnp.concatenate([hg, hp], axis=-1)               # [G, 2F]
+        out_dim = 2 if self.task == "classification" else 1
+        pred = _pred_head(cat, 2 * self.feat_dim, self.feat_dim, out_dim,
+                          self.pred_n_layer, self.pred_act)
+        return cat, pred

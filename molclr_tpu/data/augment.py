@@ -1,0 +1,232 @@
+"""On-device stochastic graph augmentations (jit-compatible).
+
+The reference recomputes augmentations on the CPU inside DataLoader workers,
+re-running RDKit + Python loops per molecule per epoch (dataset/dataset.py:
+111-147, dataset_subgraph.py:96-177, dataset_mix.py:86-217). Here molecules
+are featurized ONCE and augmentation is pure array math on the padded batch,
+fused into the jitted train step:
+
+  node      per graph mask max(1, floor(0.25 N)) atoms to [118, 0] and delete
+            floor(0.25 M) bonds (both directions at once)
+            (dataset/dataset.py:111-147)
+  subgraph  wave-BFS from a random start until floor(0.25 N) atoms removed
+            (masked) and their bonds dropped (dataset_subgraph.py:70-88;
+            percent pinned at :122)
+  mix       subgraph removal at U(0, 0.2) fraction, then top-up atom masking
+            to floor(0.25 N) total and bond deletion down to ceil(0.75 M)
+            surviving bonds (dataset_mix.py:175-215); callers should
+            featurize with add_hs=True for parity (dataset_mix.py:88)
+
+Documented divergence: within-wave BFS removal order and random sampling use
+a JAX PRNG rather than Python's `random`, so draws differ stream-wise but
+match in distribution; the two views' BFS start atoms are drawn distinct via
+`paired_augment`, as in the reference (dataset_subgraph.py:109).
+
+Sampling-without-replacement is implemented as ranking uniform keys within
+each graph's contiguous segment (one lexsort over the flat batch), which
+vectorizes on TPU with no host round-trip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from molclr_tpu.data.featurize import MASK_ATOM_TYPE
+
+_INF_TIME = jnp.int32(0x3FFFFF)
+
+
+def _segment_ranks(key, seg, valid, seg_counts):
+    """Rank of each valid element among its segment's valid elements,
+    ordered by `key`. Elements of segment g are contiguous in the flat
+    buffer; padding may sit anywhere (sorted last via ~valid)."""
+    n = key.shape[0]
+    order = jnp.lexsort((key, seg, jnp.logical_not(valid)))
+    start = jnp.cumsum(seg_counts) - seg_counts
+    pos = jnp.arange(n, dtype=jnp.int32) - start[seg[order]]
+    rank = jnp.zeros(n, jnp.int32).at[order].set(pos)
+    return rank
+
+
+def _rand_keys(rng, n):
+    return jax.random.randint(rng, (n,), 0, 1 << 20, dtype=jnp.int32)
+
+
+def _mask_atoms(batch, flag):
+    atom_type = jnp.where(flag, MASK_ATOM_TYPE, batch.atom_type)
+    chirality = jnp.where(flag, 0, batch.chirality)
+    return atom_type, chirality
+
+
+def _apply_bond_drop(batch, drop_bond):
+    """Kill both directed rows and both ELL slots of dropped bonds."""
+    drop_ext = jnp.concatenate(
+        [drop_bond, jnp.zeros(1, bool)])               # sentinel id = n_bonds
+    edge_mask = batch.edge_mask & jnp.logical_not(drop_ext[batch.edge_bond])
+    nbr_mask = batch.nbr_mask & jnp.logical_not(drop_ext[batch.nbr_bond])
+    return edge_mask, nbr_mask
+
+
+def _bond_endpoints(batch):
+    """Undirected bond endpoints from the even directed rows."""
+    return batch.src[0::2], batch.dst[0::2]
+
+
+def node_augment(batch, rng, node_frac: float = 0.25,
+                 bond_frac: float = 0.25):
+    """Atom masking + bond deletion (ref dataset/dataset.py:111-147)."""
+    rng_n, rng_b = jax.random.split(rng)
+    g = batch.num_graphs
+
+    rank_n = _segment_ranks(_rand_keys(rng_n, batch.num_nodes),
+                            batch.node_graph, batch.node_mask,
+                            batch.graph_n_nodes)
+    k_n = jnp.where(
+        batch.graph_mask,
+        jnp.maximum(1, jnp.floor(node_frac * batch.graph_n_nodes)
+                    .astype(jnp.int32)),
+        0)
+    mask_flag = batch.node_mask & (rank_n < k_n[batch.node_graph])
+    atom_type, chirality = _mask_atoms(batch, mask_flag)
+
+    rank_b = _segment_ranks(_rand_keys(rng_b, batch.num_bonds),
+                            batch.bond_graph, batch.bond_mask,
+                            batch.graph_n_bonds)
+    k_b = jnp.floor(bond_frac * batch.graph_n_bonds).astype(jnp.int32)
+    drop_bond = batch.bond_mask & (rank_b < k_b[batch.bond_graph])
+    edge_mask, nbr_mask = _apply_bond_drop(batch, drop_bond)
+    return batch.replace(atom_type=atom_type, chirality=chirality,
+                         edge_mask=edge_mask, nbr_mask=nbr_mask)
+
+
+def _bfs_times(batch, start_flag, max_waves: int):
+    """Wave index at which each node is first reached from its graph's start
+    atom over the (current) ELL adjacency. Unreached nodes get _INF_TIME."""
+    t0 = jnp.where(start_flag, 0, _INF_TIME)
+
+    def body(_, t):
+        nbr_t = jnp.where(batch.nbr_mask, t[batch.nbr], _INF_TIME)
+        best = jnp.minimum(nbr_t.min(axis=1) + 1, _INF_TIME)
+        return jnp.minimum(t, jnp.where(batch.node_mask, best, _INF_TIME))
+
+    return jax.lax.fori_loop(0, max_waves, body, t0)
+
+
+def _subgraph_removal(batch, rng_s, rng_t, k_sub, max_waves: int,
+                      start_rank_slot):
+    """Removed-node flags for wave-BFS removal of k_sub[g] atoms per graph.
+    start_rank_slot selects which random-ranked node seeds the BFS; paired
+    views share rng_s and use slots 0/1 so their start atoms are distinct
+    (ref dataset_subgraph.py:109)."""
+    start_rank = _segment_ranks(_rand_keys(rng_s, batch.num_nodes),
+                                batch.node_graph, batch.node_mask,
+                                batch.graph_n_nodes)
+    start_flag = batch.node_mask & (start_rank == start_rank_slot)
+    t = _bfs_times(batch, start_flag, max_waves)
+    # wave-ordered removal with random tie-break inside the final wave
+    key = jnp.clip(t, 0, _INF_TIME) * (1 << 20) + _rand_keys(
+        rng_t, batch.num_nodes)
+    rank = _segment_ranks(key, batch.node_graph, batch.node_mask,
+                          batch.graph_n_nodes)
+    reached = t < _INF_TIME
+    return (batch.node_mask & reached
+            & (rank < k_sub[batch.node_graph]))
+
+
+@partial(jax.jit, static_argnames=("frac", "max_waves", "start_rank_slot"))
+def subgraph_augment(batch, rng, frac: float = 0.25, max_waves: int = 32,
+                     start_rank_slot: int = 0, start_rng=None):
+    """BFS subgraph removal (ref dataset_subgraph.py:70-88,96-177)."""
+    rng_s, rng_t = jax.random.split(rng)
+    if start_rng is not None:
+        rng_s = start_rng
+    k_sub = jnp.floor(frac * batch.graph_n_nodes).astype(jnp.int32)
+    removed = _subgraph_removal(batch, rng_s, rng_t, k_sub, max_waves,
+                                start_rank_slot)
+    atom_type, chirality = _mask_atoms(batch, removed)
+    bsrc, bdst = _bond_endpoints(batch)
+    drop_bond = batch.bond_mask & (removed[bsrc] | removed[bdst])
+    edge_mask, nbr_mask = _apply_bond_drop(batch, drop_bond)
+    return batch.replace(atom_type=atom_type, chirality=chirality,
+                         edge_mask=edge_mask, nbr_mask=nbr_mask)
+
+
+@partial(jax.jit,
+         static_argnames=("sub_frac_max", "node_frac", "bond_keep",
+                          "max_waves", "start_rank_slot"))
+def mix_augment(batch, rng, sub_frac_max: float = 0.2,
+                node_frac: float = 0.25, bond_keep: float = 0.75,
+                max_waves: int = 32, start_rank_slot: int = 0,
+                start_rng=None):
+    """Subgraph removal + top-up masking/deletion (ref dataset_mix.py)."""
+    rng_f, rng_s, rng_n, rng_b = jax.random.split(rng, 4)
+    g = batch.num_graphs
+
+    f = jax.random.uniform(rng_f, (g,), maxval=sub_frac_max)
+    k_sub = jnp.floor(f * batch.graph_n_nodes).astype(jnp.int32)
+    rng_ss, rng_st = jax.random.split(rng_s)
+    if start_rng is not None:
+        rng_ss = start_rng
+    removed = _subgraph_removal(batch, rng_ss, rng_st, k_sub, max_waves,
+                                start_rank_slot)
+    n_removed = jax.ops.segment_sum(removed.astype(jnp.int32),
+                                    batch.node_graph, num_segments=g)
+
+    # top-up atom masking among survivors (ref dataset_mix.py:179,183)
+    k_total = jnp.floor(node_frac * batch.graph_n_nodes).astype(jnp.int32)
+    k_extra = jnp.maximum(0, k_total - n_removed)
+    survivors = batch.node_mask & jnp.logical_not(removed)
+    key = jnp.where(removed, -1, _rand_keys(rng_n, batch.num_nodes))
+    # removed nodes rank first (key -1), so survivors' ranks start at
+    # n_removed; extra-masked = survivor ranks in [n_removed, n_removed+k_extra)
+    rank = _segment_ranks(key, batch.node_graph, batch.node_mask,
+                          batch.graph_n_nodes)
+    topup = survivors & (rank < (n_removed + k_extra)[batch.node_graph])
+    masked = removed | topup
+    atom_type, chirality = _mask_atoms(batch, masked)
+
+    # bond deletion down to ceil(bond_keep * M) survivors
+    # (ref dataset_mix.py:180,184: num_mask_edges = M_rem - ceil(0.75 M))
+    bsrc, bdst = _bond_endpoints(batch)
+    drop_sub = batch.bond_mask & (removed[bsrc] | removed[bdst])
+    keep_cap = jnp.ceil(bond_keep * batch.graph_n_bonds).astype(jnp.int32)
+    bkey = jnp.where(drop_sub, _INF_TIME,
+                     _rand_keys(rng_b, batch.num_bonds))
+    brank = _segment_ranks(bkey, batch.bond_graph, batch.bond_mask,
+                           batch.graph_n_bonds)
+    # surviving bonds rank first; keep only the first keep_cap of them
+    drop_extra = (batch.bond_mask & jnp.logical_not(drop_sub)
+                  & (brank >= keep_cap[batch.bond_graph]))
+    edge_mask, nbr_mask = _apply_bond_drop(batch, drop_sub | drop_extra)
+    return batch.replace(atom_type=atom_type, chirality=chirality,
+                         edge_mask=edge_mask, nbr_mask=nbr_mask)
+
+
+# jit-wrapped node_augment (no static args beyond fractions)
+node_augment = partial(jax.jit, static_argnames=("node_frac", "bond_frac"))(
+    node_augment)
+
+
+def paired_augment(batch, rng, kind: str = "node", **kwargs):
+    """The two contrastive views of one base batch (ref returns (data_i,
+    data_j) per molecule, dataset/dataset.py:147). BFS-based kinds use
+    distinct start atoms per view via start_rank_slot."""
+    rng_i, rng_j, rng_start = jax.random.split(rng, 3)
+    if kind == "node":
+        return (node_augment(batch, rng_i, **kwargs),
+                node_augment(batch, rng_j, **kwargs))
+    if kind == "subgraph":
+        # shared start ranking + slots 0/1 -> distinct start atoms per view
+        return (subgraph_augment(batch, rng_i, start_rank_slot=0,
+                                 start_rng=rng_start, **kwargs),
+                subgraph_augment(batch, rng_j, start_rank_slot=1,
+                                 start_rng=rng_start, **kwargs))
+    if kind == "mix":
+        return (mix_augment(batch, rng_i, start_rank_slot=0,
+                            start_rng=rng_start, **kwargs),
+                mix_augment(batch, rng_j, start_rank_slot=1,
+                            start_rng=rng_start, **kwargs))
+    raise ValueError(f"unknown augmentation kind {kind!r}")

@@ -89,9 +89,14 @@ class GraphBatch:
     nbr_bond: np.ndarray       # int32, undirected bond id
     nbr_mask: np.ndarray       # bool
 
+    # undirected bond view [n_bonds] (for on-device bond-level augmentation)
+    bond_graph: np.ndarray     # int32, graph id per bond
+    bond_mask: np.ndarray      # bool
+
     # graph view [n_graphs]
     graph_mask: np.ndarray     # bool
     graph_n_nodes: np.ndarray  # int32 (real atoms per graph)
+    graph_n_bonds: np.ndarray  # int32 (real undirected bonds per graph)
 
     @property
     def num_nodes(self) -> int:
@@ -150,8 +155,12 @@ def pack_batch(graphs: list[MolGraph], spec: PadSpec) -> GraphBatch:
     nbr_bond = np.full((N, K), B, np.int32)
     nbr_mask = np.zeros((N, K), bool)
 
+    bond_graph = np.zeros(B, np.int32)
+    bond_mask = np.zeros(B, bool)
+
     graph_mask = np.zeros(G, bool)
     graph_n_nodes = np.zeros(G, np.int32)
+    graph_n_bonds = np.zeros(G, np.int32)
 
     node_off = 0
     edge_off = 0
@@ -194,8 +203,12 @@ def pack_batch(graphs: list[MolGraph], spec: PadSpec) -> GraphBatch:
             nbr_bond[row, s] = bond_off + k // 2
             nbr_mask[row, s] = True
 
+        bond_graph[bond_off : bond_off + e // 2] = gi
+        bond_mask[bond_off : bond_off + e // 2] = True
+
         graph_mask[gi] = True
         graph_n_nodes[gi] = n
+        graph_n_bonds[gi] = e // 2
         node_off += n
         edge_off += e
         bond_off += e // 2
@@ -207,5 +220,7 @@ def pack_batch(graphs: list[MolGraph], spec: PadSpec) -> GraphBatch:
         edge_bond=edge_bond, edge_mask=edge_mask,
         nbr=nbr, nbr_bond_type=nbr_bt, nbr_bond_dir=nbr_bd,
         nbr_bond=nbr_bond, nbr_mask=nbr_mask,
+        bond_graph=bond_graph, bond_mask=bond_mask,
         graph_mask=graph_mask, graph_n_nodes=graph_n_nodes,
+        graph_n_bonds=graph_n_bonds,
     )

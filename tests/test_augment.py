@@ -1,0 +1,189 @@
+"""Tests for on-device augmentations: exact reference counts, paired bond
+deletion, BFS connectivity, mix top-up totals."""
+
+import jax
+import numpy as np
+import pytest
+
+from molclr_tpu.data import (
+    MASK_ATOM_TYPE,
+    PadSpec,
+    featurize_smiles,
+    pack_batch,
+)
+from molclr_tpu.data.augment import (
+    mix_augment,
+    node_augment,
+    paired_augment,
+    subgraph_augment,
+)
+
+SMILES = ["CC(=O)Oc1ccccc1C(=O)O", "CCCCCCCCCCCC", "c1ccc2ccccc2c1",
+          "CN1CCC[C@H]1c1cccnc1", "C"]
+SPEC = PadSpec(n_graphs=6, n_nodes=96, n_edges=224, max_degree=6)
+
+
+def make_batch():
+    return pack_batch([featurize_smiles(s) for s in SMILES], SPEC)
+
+
+def per_graph_masked_atoms(orig, aug):
+    out = []
+    for gi in range(orig.num_graphs):
+        sel = (orig.node_graph == gi) & orig.node_mask
+        masked = (np.asarray(aug.atom_type)[sel] == MASK_ATOM_TYPE) & (
+            np.asarray(orig.atom_type)[sel] != MASK_ATOM_TYPE)
+        out.append(int(masked.sum()))
+    return out
+
+
+def per_graph_dropped_bonds(orig, aug):
+    out = []
+    em = np.asarray(aug.edge_mask)
+    for gi in range(orig.num_graphs):
+        sel = np.asarray(orig.bond_graph == gi) & np.asarray(orig.bond_mask)
+        ids = np.nonzero(sel)[0]
+        dropped = 0
+        for b in ids:
+            rows = np.nonzero(np.asarray(orig.edge_bond) == b)[0]
+            alive = em[rows]
+            assert alive[0] == alive[1], "directions must drop together"
+            dropped += int(not alive[0])
+        out.append(dropped)
+    return out
+
+
+class TestNodeAug:
+    def test_exact_counts(self):
+        batch = make_batch()
+        aug = node_augment(batch, jax.random.PRNGKey(0))
+        n_atoms = [g for g in batch.graph_n_nodes[:5]]
+        n_bonds = [g for g in batch.graph_n_bonds[:5]]
+        expect_atoms = [max(1, int(0.25 * n)) for n in n_atoms]
+        expect_bonds = [int(0.25 * m) for m in n_bonds]
+        assert per_graph_masked_atoms(batch, aug)[:5] == expect_atoms
+        assert per_graph_dropped_bonds(batch, aug)[:5] == expect_bonds
+
+    def test_ell_coo_consistency(self):
+        batch = make_batch()
+        aug = node_augment(batch, jax.random.PRNGKey(1))
+        # every dropped bond is dead in BOTH views; self-loops all alive
+        drop = {int(b) for b in np.asarray(batch.edge_bond)[
+            np.asarray(batch.edge_mask) & ~np.asarray(aug.edge_mask)]}
+        nbr_alive = np.asarray(aug.nbr_mask)
+        nbr_bond = np.asarray(batch.nbr_bond)
+        for n in range(batch.num_nodes):
+            for k in range(nbr_bond.shape[1]):
+                if batch.nbr_mask[n, k]:
+                    expect = int(nbr_bond[n, k]) not in drop
+                    assert bool(nbr_alive[n, k]) == expect
+        assert np.asarray(aug.nbr_mask)[batch.node_mask, 0].all()
+
+    def test_padding_untouched(self):
+        batch = make_batch()
+        aug = node_augment(batch, jax.random.PRNGKey(2))
+        pad = ~np.asarray(batch.node_mask)
+        assert (np.asarray(aug.atom_type)[pad] ==
+                np.asarray(batch.atom_type)[pad]).all()
+        assert not np.asarray(aug.edge_mask)[~np.asarray(batch.edge_mask)].any()
+
+    def test_deterministic(self):
+        batch = make_batch()
+        a1 = node_augment(batch, jax.random.PRNGKey(7))
+        a2 = node_augment(batch, jax.random.PRNGKey(7))
+        assert (np.asarray(a1.atom_type) == np.asarray(a2.atom_type)).all()
+        a3 = node_augment(batch, jax.random.PRNGKey(8))
+        assert (np.asarray(a1.atom_type) != np.asarray(a3.atom_type)).any()
+
+
+class TestSubgraphAug:
+    def test_counts_and_connectivity(self):
+        batch = make_batch()
+        aug = subgraph_augment(batch, jax.random.PRNGKey(3))
+        counts = per_graph_masked_atoms(batch, aug)
+        for gi in range(5):
+            n = int(batch.graph_n_nodes[gi])
+            assert counts[gi] == int(0.25 * n), (gi, counts)
+        # removed set is connected within each graph (wave-BFS property)
+        masked = ((np.asarray(aug.atom_type) == MASK_ATOM_TYPE)
+                  & np.asarray(batch.node_mask))
+        for gi in range(5):
+            nodes = set(np.nonzero(masked & (batch.node_graph == gi))[0])
+            if len(nodes) <= 1:
+                continue
+            # BFS inside removed set over original bonds
+            adj = {n: set() for n in nodes}
+            for e in range(batch.num_edges):
+                if batch.edge_mask[e]:
+                    s, d = int(batch.src[e]), int(batch.dst[e])
+                    if s in nodes and d in nodes:
+                        adj[s].add(d)
+            seen = {next(iter(nodes))}
+            frontier = list(seen)
+            while frontier:
+                nxt = []
+                for u in frontier:
+                    for v in adj[u]:
+                        if v not in seen:
+                            seen.add(v)
+                            nxt.append(v)
+                frontier = nxt
+            assert seen == nodes, f"graph {gi} removed set not connected"
+
+    def test_removed_bonds_dropped(self):
+        batch = make_batch()
+        aug = subgraph_augment(batch, jax.random.PRNGKey(4))
+        masked = ((np.asarray(aug.atom_type) == MASK_ATOM_TYPE)
+                  & np.asarray(batch.node_mask))
+        em = np.asarray(aug.edge_mask)
+        for e in range(batch.num_edges):
+            if batch.edge_mask[e]:
+                touches = masked[int(batch.src[e])] or masked[int(batch.dst[e])]
+                assert em[e] == (not touches)
+
+    def test_paired_distinct_starts(self):
+        batch = make_batch()
+        vi, vj = paired_augment(batch, jax.random.PRNGKey(5), "subgraph")
+        mi = ((np.asarray(vi.atom_type) == MASK_ATOM_TYPE)
+              & np.asarray(batch.node_mask))
+        mj = ((np.asarray(vj.atom_type) == MASK_ATOM_TYPE)
+              & np.asarray(batch.node_mask))
+        # the dodecane chain (graph 1, 12 atoms, 3 removed each view):
+        # views should not be identical in general
+        assert (mi != mj).any()
+
+
+class TestMixAug:
+    def test_totals(self):
+        batch = make_batch()
+        aug = mix_augment(batch, jax.random.PRNGKey(6))
+        atoms = per_graph_masked_atoms(batch, aug)
+        bonds_alive = []
+        em = np.asarray(aug.edge_mask)
+        for gi in range(5):
+            sel = np.asarray(batch.bond_graph == gi) & np.asarray(
+                batch.bond_mask)
+            ids = np.nonzero(sel)[0]
+            alive = sum(int(em[np.asarray(batch.edge_bond) == b][0])
+                        for b in ids)
+            bonds_alive.append(alive)
+        for gi in range(5):
+            n = int(batch.graph_n_nodes[gi])
+            m = int(batch.graph_n_bonds[gi])
+            assert atoms[gi] == int(0.25 * n), (gi, atoms)
+            assert bonds_alive[gi] <= int(np.ceil(0.75 * m)), (gi, bonds_alive)
+
+    def test_jit_cache(self):
+        """Repeated calls with same shapes reuse the compiled kernel."""
+        batch = make_batch()
+        for seed in range(3):
+            mix_augment(batch, jax.random.PRNGKey(seed))
+
+
+class TestPaired:
+    @pytest.mark.parametrize("kind", ["node", "subgraph", "mix"])
+    def test_views_differ(self, kind):
+        batch = make_batch()
+        vi, vj = paired_augment(batch, jax.random.PRNGKey(9), kind)
+        assert ((np.asarray(vi.atom_type) != np.asarray(vj.atom_type)).any()
+                or (np.asarray(vi.edge_mask) != np.asarray(vj.edge_mask)).any())

@@ -1,0 +1,69 @@
+"""Contrastive pretraining CLI (replaces `python molclr.py`,
+ref molclr.py:180-199)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="molclr-pretrain",
+        description="MolCLR contrastive pretraining on TPU (JAX)")
+    p.add_argument("--config", default="configs/pretrain.yaml",
+                   help="YAML config (reference config.yaml keys accepted)")
+    p.add_argument("--data", default=None, help="override corpus path")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--aug", choices=["node", "subgraph", "mix"], default=None)
+    p.add_argument("--model", choices=["gin", "gcn"], default=None)
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--synthetic", type=int, default=0, metavar="N",
+                   help="generate an N-molecule synthetic corpus if the "
+                        "data path is missing")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from molclr_tpu.train.config import PretrainConfig, pretrain_from_yaml
+    from molclr_tpu.train.pretrain import Pretrainer
+
+    cfg = (pretrain_from_yaml(args.config) if os.path.exists(args.config)
+           else PretrainConfig())
+    if args.data:
+        cfg.data_path = args.data
+    if args.epochs is not None:
+        cfg.epochs = args.epochs
+    if args.batch_size is not None:
+        cfg.batch_size = args.batch_size
+    if args.aug:
+        cfg.aug = args.aug
+    if args.model:
+        cfg.model.gnn_type = args.model
+    if args.ckpt_dir:
+        cfg.ckpt_dir = args.ckpt_dir
+
+    if args.synthetic and not os.path.exists(cfg.data_path):
+        from molclr_tpu.data.synthetic import write_pretrain_corpus
+
+        print(f"generating synthetic corpus ({args.synthetic} molecules) "
+              f"-> {cfg.data_path}")
+        write_pretrain_corpus(cfg.data_path, args.synthetic, seed=cfg.seed)
+
+    print(f"devices: {jax.devices()}")
+    pre = Pretrainer(cfg).setup_data()
+    first = next(iter(pre.train_iter))[0]
+    print(f"bucket: {pre.spec}")
+    pre.setup_state(first)
+    pre.train()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,146 @@
+"""Host data pipeline: CSV readers, bulk featurization, batch iterators.
+
+The reference re-featurizes every molecule every epoch inside DataLoader
+workers (dataset/dataset.py:61-147). Here featurization happens once up
+front (optionally in parallel processes), and epochs iterate by packing
+cached MolGraphs into static-shape GraphBatches; stochastic augmentation
+moved on-device (data/augment.py).
+"""
+
+from __future__ import annotations
+
+import csv
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+from molclr_tpu.data.featurize import MolGraph, featurize_smiles
+from molclr_tpu.data.graphs import GraphBatch, PackOverflow, PadSpec, pack_batch
+
+
+def read_pretrain_smiles(path: str) -> list[str]:
+    """One SMILES per line, or CSV whose last column is the SMILES
+    (ref dataset/dataset.py:46-53)."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            out.append(line.split(",")[-1])
+    return out
+
+
+def read_task_csv(path: str, target: str, task: str):
+    """Rows with parseable SMILES and a non-empty target label
+    (ref dataset/dataset_test.py:94-111; the reference's accidental
+    first-data-row drop at :100 `if i != 0` is NOT replicated)."""
+    smiles, labels = [], []
+    with open(path, newline="") as f:
+        for row in csv.DictReader(f):
+            s = row["smiles"]
+            raw = row.get(target, "")
+            if raw is None or raw == "":
+                continue
+            if featurize_smiles(s) is None:
+                continue
+            smiles.append(s)
+            labels.append(int(float(raw)) if task == "classification"
+                          else float(raw))
+    return smiles, labels
+
+
+def featurize_many(smiles: list[str], add_hs: bool = False,
+                   max_degree: int = 6, processes: int = 0):
+    """Featurize a corpus; returns (graphs, kept_indices). Molecules that
+    fail to parse or exceed max_degree are dropped (the reference drops
+    unparseable rows; degree capping is a documented ELL constraint)."""
+    if processes and processes > 1:
+        # spawn, not fork: JAX is multithreaded and fork() after backend
+        # init can deadlock
+        from multiprocessing import get_context
+
+        with get_context("spawn").Pool(processes) as pool:
+            feats = pool.starmap(
+                featurize_smiles, [(s, add_hs) for s in smiles],
+                chunksize=2048)
+    else:
+        feats = [featurize_smiles(s, add_hs) for s in smiles]
+    graphs, kept = [], []
+    for i, g in enumerate(feats):
+        if g is None or (g.n_atoms and g.max_degree > max_degree):
+            continue
+        graphs.append(g)
+        kept.append(i)
+    return graphs, kept
+
+
+def spec_for_graphs(graphs: list[MolGraph], batch_size: int,
+                    max_degree: int = 6, slack: float = 1.1,
+                    quantile: float = 1.0) -> PadSpec:
+    """A PadSpec that fits `batch_size` molecules drawn from this corpus.
+    quantile < 1 trades coverage for padding efficiency; oversized batches
+    fall back to dropping molecules at pack time."""
+    atoms = np.array([g.n_atoms for g in graphs])
+    edges = np.array([g.edge_src.shape[0] for g in graphs])
+    if quantile >= 1.0:
+        a, e = atoms.max(), edges.max()
+    else:
+        a = np.quantile(atoms, quantile)
+        e = np.quantile(edges, quantile)
+    n_nodes = int(np.ceil(batch_size * float(a) * slack))
+    n_edges = int(np.ceil(batch_size * float(e) * slack / 2) * 2)
+    return PadSpec(batch_size, max(n_nodes, 8), max(n_edges, 8), max_degree)
+
+
+@dataclass
+class BatchIterator:
+    """Epoch iterator yielding (GraphBatch, label_array|None, indices).
+
+    drop_last=True matches the reference pretrain loader contract
+    (dataset/dataset.py:179-183); here it also keeps batch shapes static.
+    On PackOverflow the largest molecules of the batch are dropped (and the
+    batch padded short) rather than crashing."""
+
+    graphs: list[MolGraph]
+    spec: PadSpec
+    labels: np.ndarray | None = None
+    batch_size: int | None = None
+    shuffle: bool = True
+    drop_last: bool = True
+    seed: int = 0
+
+    def __post_init__(self):
+        if self.batch_size is None:
+            self.batch_size = self.spec.n_graphs
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.graphs)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator:
+        n = len(self.graphs)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            rng.shuffle(order)
+        self._epoch += 1
+        stop = (n - n % self.batch_size) if self.drop_last else n
+        for lo in range(0, stop, self.batch_size):
+            idx = order[lo : lo + self.batch_size]
+            batch_graphs = [self.graphs[i] for i in idx]
+            idx = list(idx)
+            while True:
+                try:
+                    gb = pack_batch(batch_graphs, self.spec)
+                    break
+                except PackOverflow:
+                    drop = int(np.argmax([g.n_atoms for g in batch_graphs]))
+                    batch_graphs.pop(drop)
+                    idx.pop(drop)
+            labels = (self.labels[idx] if self.labels is not None else None)
+            yield gb, labels, np.asarray(idx)

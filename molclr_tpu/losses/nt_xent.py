@@ -26,16 +26,23 @@ import jax.numpy as jnp
 
 
 def nt_xent_loss(zis, zjs, temperature: float = 0.1,
-                 use_cosine: bool = True, axis_name: str | None = None):
+                 use_cosine: bool = True, axis_name: str | None = None,
+                 pair_mask=None):
     """zis, zjs: [B, D] projections of the two augmented views.
 
     axis_name: mesh axis to all-gather over for global negatives (None for
-    single-device)."""
+    single-device).
+    pair_mask: optional [B] bool of real (non-padding) pairs. With a mask,
+    padded rows contribute neither positives nor negatives — this removes
+    the reference's drop_last correctness requirement (quirk Q9) for
+    partially-filled batches."""
     if axis_name is not None:
         # [n_dev, B, D] -> [n_dev*B, D]; row order is consistent across
         # replicas so the loss is identical everywhere.
         zis = jax.lax.all_gather(zis, axis_name).reshape(-1, zis.shape[-1])
         zjs = jax.lax.all_gather(zjs, axis_name).reshape(-1, zjs.shape[-1])
+        if pair_mask is not None:
+            pair_mask = jax.lax.all_gather(pair_mask, axis_name).reshape(-1)
 
     b = zis.shape[0]
     reps = jnp.concatenate([zjs, zis], axis=0)  # [2B, D] (order per reference)
@@ -48,7 +55,15 @@ def nt_xent_loss(zis, zjs, temperature: float = 0.1,
     idx = jnp.arange(n)
     partner = jnp.where(idx < b, idx + b, idx - b)
     pos = sim[idx, partner]
-    # denominator: all j except the diagonal
-    sim_no_diag = jnp.where(jnp.eye(n, dtype=bool), -jnp.inf, sim)
+    # denominator: all j except the diagonal (and padded columns)
+    dead = jnp.eye(n, dtype=bool)
+    if pair_mask is not None:
+        row_mask = jnp.concatenate([pair_mask, pair_mask])
+        dead = dead | ~row_mask[None, :]
+    sim_no_diag = jnp.where(dead, -jnp.inf, sim)
     denom = jax.nn.logsumexp(sim_no_diag, axis=-1)
-    return jnp.mean(denom - pos)
+    per_row = denom - pos
+    if pair_mask is None:
+        return jnp.mean(per_row)
+    row_mask = jnp.concatenate([pair_mask, pair_mask]).astype(per_row.dtype)
+    return (per_row * row_mask).sum() / jnp.maximum(row_mask.sum(), 1.0)

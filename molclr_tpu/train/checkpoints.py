@@ -137,12 +137,13 @@ def transfer_params(src: dict, dst: dict) -> dict:
 
 # ---- native (Orbax) checkpoints ----
 
-def save_checkpoint(directory: str, step: int, tree: Any) -> str:
+def save_checkpoint(directory: str, step: int, tree: Any,
+                    force: bool = False) -> str:
     import orbax.checkpoint as ocp
 
     path = os.path.join(os.path.abspath(directory), f"step_{step}")
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, tree)
+    ckptr.save(path, tree, force=force)
     ckptr.wait_until_finished()
     return path
 

@@ -1,0 +1,159 @@
+"""Typed configuration, YAML-compatible with the reference config keys.
+
+The reference drives both entry points from untyped YAML (config.yaml,
+config_finetune.yaml) parsed with yaml.load and eval() for weight_decay
+(quirk Q11, molclr.py:86). Here configs are dataclasses with explicit types;
+`from_yaml` accepts the reference files' key layout.
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class ModelConfig:
+    gnn_type: str = "gin"           # 'gin' | 'gcn' (config.yaml model_type)
+    num_layers: int = 5
+    emb_dim: int = 300
+    feat_dim: int = 512
+    drop_ratio: float = 0.0
+    pool: str = "mean"
+    pred_n_layer: int = 2
+    pred_act: str = "softplus"
+    normalize_gcn: bool = False     # True fixes quirk Q2
+    bf16: bool = False              # bfloat16 activations (params stay fp32)
+
+
+@dataclass
+class PretrainConfig:
+    data_path: str = "data/pubchem_synthetic.txt"
+    batch_size: int = 512           # config.yaml:1
+    epochs: int = 100               # config.yaml:2
+    warm_up: int = 10               # config.yaml:3
+    init_lr: float = 5e-4           # config.yaml:11
+    weight_decay: float = 1e-5      # config.yaml:12
+    temperature: float = 0.1        # config.yaml:30
+    use_cosine_similarity: bool = True
+    aug: str = "node"               # 'node' | 'subgraph' | 'mix'
+    valid_size: float = 0.05        # config.yaml:26
+    model: ModelConfig = field(default_factory=ModelConfig)
+    max_degree: int = 6
+    pad_quantile: float = 1.0
+    pad_slack: float = 1.1
+    eval_every_epochs: int = 1
+    save_every_epochs: int = 5      # molclr.py:142-143
+    log_every_steps: int = 50       # molclr.py:116
+    ckpt_dir: str = "runs/pretrain"
+    resume_from: str = ""           # config.yaml load_model
+    seed: int = 0
+    featurize_processes: int = 2
+    data_axis: str = ""             # mesh axis name for DP ('' = single chip)
+
+
+@dataclass
+class FineTuneConfig:
+    task_name: str = "BBBP"
+    data_root: str = "data"
+    batch_size: int = 32            # config_finetune.yaml:1
+    epochs: int = 100
+    init_lr: float = 5e-4           # head LR, config_finetune.yaml:7
+    init_base_lr: float = 1e-4      # encoder LR, config_finetune.yaml:8
+    weight_decay: float = 1e-6
+    model: ModelConfig = field(
+        default_factory=lambda: ModelConfig(drop_ratio=0.3))
+    pretrained: str = ""            # torch .pth or orbax dir to warm-start
+    use_motifs: bool = False        # the fork's motif-MP head
+    max_motifs_per_mol: int = 12
+    valid_size: float = 0.1
+    test_size: float = 0.1
+    splitting: str = "scaffold"     # config_finetune.yaml:27
+    score_mode: str = "softmax"     # 'softmax' | 'logit1' (quirk Q7)
+    max_degree: int = 6
+    seed: int = 0
+    ckpt_dir: str = "runs/finetune"
+    synthetic_n: int = 2000         # rows when auto-generating missing CSVs
+    log_every_steps: int = 50
+
+
+def _merge(dc, d: dict):
+    for k, v in d.items():
+        if hasattr(dc, k):
+            cur = getattr(dc, k)
+            if isinstance(cur, (ModelConfig,)) and isinstance(v, dict):
+                _merge(cur, v)
+            else:
+                setattr(dc, k, type(cur)(v) if cur is not None else v)
+    return dc
+
+
+_REF_MODEL_KEYS = {"num_layer": "num_layers", "drop_ratio": "drop_ratio",
+                   "emb_dim": "emb_dim", "feat_dim": "feat_dim",
+                   "pool": "pool", "pred_n_layer": "pred_n_layer",
+                   "pred_act": "pred_act"}
+
+
+def pretrain_from_yaml(path: str) -> PretrainConfig:
+    import yaml
+
+    raw = yaml.safe_load(open(path))
+    cfg = PretrainConfig()
+    for k in ("batch_size", "epochs", "warm_up", "aug", "seed"):
+        if k in raw:
+            setattr(cfg, k, raw[k])
+    if "init_lr" in raw:
+        cfg.init_lr = float(raw["init_lr"])
+    if "weight_decay" in raw:
+        cfg.weight_decay = float(raw["weight_decay"])  # no eval() (Q11)
+    if "model_type" in raw:
+        cfg.model.gnn_type = raw["model_type"]
+    if "load_model" in raw and raw["load_model"] not in (None, "None"):
+        cfg.resume_from = str(raw["load_model"])
+    for src, dst in _REF_MODEL_KEYS.items():
+        if src in raw.get("model", {}):
+            setattr(cfg.model, dst, raw["model"][src])
+    loss = raw.get("loss", {})
+    if "temperature" in loss:
+        cfg.temperature = float(loss["temperature"])
+    if "use_cosine_similarity" in loss:
+        cfg.use_cosine_similarity = bool(loss["use_cosine_similarity"])
+    ds = raw.get("dataset", {})
+    for k in ("valid_size", "data_path"):
+        if k in ds:
+            setattr(cfg, k, ds[k])
+    for k in ("data_path", "ckpt_dir", "data_axis"):
+        if k in raw:
+            setattr(cfg, k, raw[k])
+    return cfg
+
+
+def finetune_from_yaml(path: str) -> FineTuneConfig:
+    import yaml
+
+    raw = yaml.safe_load(open(path))
+    cfg = FineTuneConfig()
+    for k in ("task_name", "batch_size", "epochs", "seed", "data_root",
+              "use_motifs", "splitting", "score_mode", "ckpt_dir"):
+        if k in raw:
+            setattr(cfg, k, raw[k])
+    for k in ("init_lr", "init_base_lr", "weight_decay"):
+        if k in raw:
+            setattr(cfg, k, float(raw[k]))
+    if "model_type" in raw:
+        cfg.model.gnn_type = raw["model_type"]
+    if "fine_tune_from" in raw and raw["fine_tune_from"]:
+        cfg.pretrained = str(raw["fine_tune_from"])
+    if "pretrained" in raw:
+        cfg.pretrained = str(raw["pretrained"])
+    for src, dst in _REF_MODEL_KEYS.items():
+        if src in raw.get("model", {}):
+            setattr(cfg.model, dst, raw["model"][src])
+    ds = raw.get("dataset", {})
+    for k in ("valid_size", "test_size", "splitting"):
+        if k in ds:
+            setattr(cfg, k, ds[k])
+    return cfg
+
+
+def to_dict(cfg) -> dict:
+    return asdict(cfg)

@@ -1,0 +1,206 @@
+"""MolCLR contrastive pretraining loop (ref molclr.py:33-177, TPU-native).
+
+Differences from the reference by design:
+  - molecules are featurized once; the two augmented views are produced
+    on-device inside the jitted train step (data/augment.py), not in
+    DataLoader workers;
+  - the whole step (2x encoder fwd+bwd + NT-Xent) is one XLA computation;
+  - bf16 activations optional (replaces apex amp O2, molclr.py:93-96);
+  - checkpoints are Orbax trees (+ config snapshot), best-by-validation and
+    periodic, mirroring molclr.py:131-143.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from molclr_tpu.data.augment import paired_augment
+from molclr_tpu.data.loader import (
+    BatchIterator,
+    featurize_many,
+    read_pretrain_smiles,
+    spec_for_graphs,
+)
+from molclr_tpu.losses import nt_xent_loss
+from molclr_tpu.models import MolCLRNet
+from molclr_tpu.train import checkpoints as ckpt_lib
+from molclr_tpu.train.config import PretrainConfig, to_dict
+from molclr_tpu.train.optim import adam_torch, warmup_then_cosine
+from molclr_tpu.train.state import TrainState
+
+
+class Pretrainer:
+    def __init__(self, cfg: PretrainConfig):
+        self.cfg = cfg
+        m = cfg.model
+        self.model = MolCLRNet(
+            num_layers=m.num_layers, emb_dim=m.emb_dim, feat_dim=m.feat_dim,
+            gnn_type=m.gnn_type, pool=m.pool, drop_ratio=m.drop_ratio,
+            normalize_gcn=m.normalize_gcn,
+            bn_axis_name=cfg.data_axis or None,
+            dtype=jnp.bfloat16 if m.bf16 else jnp.float32)
+        self._train_step = None
+        self._eval_step = None
+
+    # ---- data ----
+    def setup_data(self, smiles: list[str] | None = None):
+        cfg = self.cfg
+        if smiles is None:
+            smiles = read_pretrain_smiles(cfg.data_path)
+        graphs, _ = featurize_many(smiles, add_hs=(cfg.aug == "mix"),
+                                   max_degree=cfg.max_degree,
+                                   processes=cfg.featurize_processes)
+        rng = np.random.RandomState(cfg.seed)
+        order = rng.permutation(len(graphs))
+        n_valid = int(len(graphs) * cfg.valid_size)
+        valid_ids, train_ids = order[:n_valid], order[n_valid:]
+        self.spec = spec_for_graphs(graphs, cfg.batch_size, cfg.max_degree,
+                                    cfg.pad_slack, cfg.pad_quantile)
+        self.train_iter = BatchIterator(
+            [graphs[i] for i in train_ids], self.spec, shuffle=True,
+            drop_last=True, seed=cfg.seed)
+        self.valid_iter = BatchIterator(
+            [graphs[i] for i in valid_ids], self.spec, shuffle=False,
+            drop_last=False, seed=cfg.seed)
+        return self
+
+    # ---- model/optimizer ----
+    def setup_state(self, example_batch):
+        cfg = self.cfg
+        variables = self.model.init(jax.random.PRNGKey(cfg.seed),
+                                    example_batch, train=False)
+        params = variables["params"]
+        stats = variables.get("batch_stats", {})
+        if cfg.resume_from:
+            params, stats = self._resume(params, stats)
+        steps_per_epoch = max(1, len(self.train_iter))
+        self.schedule = warmup_then_cosine(cfg.init_lr, steps_per_epoch,
+                                           cfg.epochs, cfg.warm_up)
+        self.tx = adam_torch(self.schedule, cfg.weight_decay)
+        self.state = TrainState(params=params, batch_stats=stats,
+                                opt_state=self.tx.init(params), step=0)
+        return self
+
+    def _resume(self, params, stats):
+        path = self.cfg.resume_from
+        if path.endswith(".pth"):
+            imported_p, imported_s = ckpt_lib.import_torch_params(
+                ckpt_lib.load_torch_state_dict(path),
+                gnn_type=self.cfg.model.gnn_type)
+            return (ckpt_lib.transfer_params(imported_p, params),
+                    ckpt_lib.transfer_params(imported_s, stats))
+        restored = ckpt_lib.load_checkpoint(
+            path, {"params": params, "batch_stats": stats})
+        return restored["params"], restored["batch_stats"]
+
+    # ---- jitted steps ----
+    def _build_steps(self):
+        model, cfg = self.model, self.cfg
+
+        def loss_fn(params, batch_stats, batch, rng):
+            rng_aug, rng_di, rng_dj = jax.random.split(rng, 3)
+            vi, vj = paired_augment(batch, rng_aug, cfg.aug)
+            (_, zi), upd = model.apply(
+                {"params": params, "batch_stats": batch_stats}, vi,
+                train=True, rngs={"dropout": rng_di},
+                mutable=["batch_stats"])
+            (_, zj), upd = model.apply(
+                {"params": params, "batch_stats": upd["batch_stats"]}, vj,
+                train=True, rngs={"dropout": rng_dj},
+                mutable=["batch_stats"])
+            loss = nt_xent_loss(zi.astype(jnp.float32),
+                                zj.astype(jnp.float32),
+                                cfg.temperature, cfg.use_cosine_similarity,
+                                cfg.data_axis or None,
+                                pair_mask=batch.graph_mask)
+            return loss, upd["batch_stats"]
+
+        def train_step(state, batch, rng):
+            rng = jax.random.fold_in(rng, state.step)
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                       batch, rng)
+            if cfg.data_axis:
+                grads = jax.lax.pmean(grads, cfg.data_axis)
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.params)
+            params = jax.tree_util.tree_map(
+                lambda p, u: p + u, state.params, updates)
+            return TrainState(params=params, batch_stats=new_stats,
+                              opt_state=opt_state, step=state.step + 1), loss
+
+        def eval_step(state, batch, rng):
+            vi, vj = paired_augment(batch, rng, cfg.aug)
+            _, zi = model.apply({"params": state.params,
+                                 "batch_stats": state.batch_stats}, vi,
+                                train=False)
+            _, zj = model.apply({"params": state.params,
+                                 "batch_stats": state.batch_stats}, vj,
+                                train=False)
+            return nt_xent_loss(zi.astype(jnp.float32),
+                                zj.astype(jnp.float32),
+                                cfg.temperature, cfg.use_cosine_similarity,
+                                pair_mask=batch.graph_mask)
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._eval_step = jax.jit(eval_step)
+
+    # ---- loops ----
+    def validate(self, rng) -> float:
+        losses = []
+        for i, (batch, _, _) in enumerate(self.valid_iter):
+            losses.append(float(self._eval_step(
+                self.state, batch, jax.random.fold_in(rng, i))))
+        return float(np.mean(losses)) if losses else float("nan")
+
+    def train(self, log=print):
+        cfg = self.cfg
+        if self._train_step is None:
+            self._build_steps()
+        os.makedirs(cfg.ckpt_dir, exist_ok=True)
+        with open(os.path.join(cfg.ckpt_dir, "config.json"), "w") as f:
+            json.dump(to_dict(cfg), f, indent=2, default=str)
+        metrics_path = os.path.join(cfg.ckpt_dir, "metrics.jsonl")
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+        best_val = float("inf")
+        history = []
+        for epoch in range(cfg.epochs):
+            t0 = time.time()
+            losses = []
+            for batch, _, _ in self.train_iter:
+                self.state, loss = self._train_step(self.state, batch, rng)
+                losses.append(loss)
+                step = int(self.state.step)
+                if step % cfg.log_every_steps == 0:
+                    log(f"epoch {epoch} step {step} "
+                        f"loss {float(loss):.4f} "
+                        f"lr {float(self.schedule(step)):.6f}")
+            train_loss = float(np.mean([float(x) for x in losses]))
+            record = {"epoch": epoch, "train_loss": train_loss,
+                      "time_s": round(time.time() - t0, 2)}
+            if (epoch + 1) % cfg.eval_every_epochs == 0:
+                val = self.validate(jax.random.fold_in(rng, 10_000 + epoch))
+                record["valid_loss"] = val
+                if val < best_val:
+                    best_val = val
+                    ckpt_lib.save_checkpoint(
+                        os.path.join(cfg.ckpt_dir, "best"), 0,
+                        {"params": self.state.params,
+                         "batch_stats": self.state.batch_stats},
+                        force=True)
+            if (epoch + 1) % cfg.save_every_epochs == 0:
+                ckpt_lib.save_checkpoint(
+                    cfg.ckpt_dir, int(self.state.step),
+                    {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats})
+            history.append(record)
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps(record) + "\n")
+            log(f"epoch {epoch}: {record}")
+        return history

@@ -1,0 +1,78 @@
+"""End-to-end training tests on synthetic data: the fine-tune loop must
+actually learn (ROC-AUC well above chance), pretraining loss must drop, and
+pretrained weights must transfer."""
+
+import numpy as np
+import pytest
+
+from molclr_tpu.data.synthetic import synthetic_corpus
+from molclr_tpu.train.config import FineTuneConfig, ModelConfig, PretrainConfig
+from molclr_tpu.train.finetune import FineTuner
+from molclr_tpu.train.pretrain import Pretrainer
+
+SMALL = ModelConfig(gnn_type="gin", num_layers=3, emb_dim=64, feat_dim=128,
+                    drop_ratio=0.0)
+
+
+@pytest.fixture(scope="module")
+def finetune_run(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    cfg = FineTuneConfig(task_name="BBBP", data_root=str(root),
+                         batch_size=32, epochs=6, model=SMALL,
+                         synthetic_n=600, seed=0,
+                         ckpt_dir=str(root / "ft"))
+    ft = FineTuner(cfg).setup_data()
+    first = next(iter(ft.iters["train"]))[0]
+    ft.setup_state(first)
+    result = ft.train(log=lambda *_: None)
+    return ft, result
+
+
+class TestFineTune:
+    def test_learns_synthetic_bbbp(self, finetune_run):
+        _, result = finetune_run
+        assert result["metric_name"] == "roc_auc"
+        assert result["test_metric"] > 0.70, result
+
+    def test_split_disjoint(self, finetune_run):
+        ft, _ = finetune_run
+        tr, va, te = ft.split
+        assert not (set(tr) & set(va) or set(tr) & set(te)
+                    or set(va) & set(te))
+        assert len(tr) + len(va) + len(te) == len(ft.smiles)
+
+    def test_history_recorded(self, finetune_run):
+        _, result = finetune_run
+        assert len(result["history"]) == 6
+
+
+class TestPretrain:
+    def test_loss_decreases(self, tmp_path):
+        cfg = PretrainConfig(batch_size=32, epochs=3, warm_up=1,
+                             model=SMALL, aug="node", valid_size=0.1,
+                             ckpt_dir=str(tmp_path / "pre"), seed=0,
+                             featurize_processes=0, save_every_epochs=100,
+                             eval_every_epochs=100)
+        smiles = synthetic_corpus(300, seed=1)
+        pre = Pretrainer(cfg).setup_data(smiles)
+        first = next(iter(pre.train_iter))[0]
+        pre.setup_state(first)
+        history = pre.train(log=lambda *_: None)
+        assert history[-1]["train_loss"] < history[0]["train_loss"]
+
+    def test_regression_task(self, tmp_path):
+        cfg = FineTuneConfig(task_name="FreeSolv", data_root=str(tmp_path),
+                             batch_size=32, epochs=8, model=SMALL,
+                             synthetic_n=400, seed=0,
+                             ckpt_dir=str(tmp_path / "ft"))
+        ft = FineTuner(cfg).setup_data()
+        first = next(iter(ft.iters["train"]))[0]
+        ft.setup_state(first)
+        result = ft.train(log=lambda *_: None)
+        assert result["metric_name"] == "rmse"
+        # the model must learn: best valid RMSE beats the mean predictor
+        # (test-set RMSE is noisier under scaffold shift on 400 molecules)
+        base = float(np.std(ft.train_labels))
+        best_valid = min(h["valid_rmse"] for h in result["history"])
+        assert best_valid < base, (result, base)
+        assert np.isfinite(result["test_metric"])

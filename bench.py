@@ -1,0 +1,172 @@
+"""Benchmark: GIN contrastive-pretrain step throughput on one chip.
+
+Measures the full training step — on-device paired augmentation, two encoder
+forward+backward passes, NT-Xent, Adam — on a realistic synthetic
+PubChem-like batch, and reports message-edges processed per second per chip:
+
+    edges/step = 2 views x num_layers x (directed bond edges + self-loops)
+    value      = edges/step / marginal step time
+
+Methodology (required on this platform): K training steps are folded into
+one dispatch via lax.scan and timed with a full host readback —
+block_until_ready returns before completion on the axon PJRT relay, and
+per-dispatch overhead is large and variable, so the honest number is the
+MARGINAL step time between two scan lengths: (t_K2 - t_K1) / (K2 - K1).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline compares against bench_baseline.json (committed after the first
+TPU run); the reference publishes no throughput numbers (SURVEY §6.1).
+Diagnostics go to stderr; stdout carries only the JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--layers", type=int, default=5)
+    p.add_argument("--emb-dim", type=int, default=300)
+    p.add_argument("--dtype", choices=["bf16", "fp32"], default="bf16")
+    p.add_argument("--aug", default="node")
+    p.add_argument("--k1", type=int, default=8)
+    p.add_argument("--k2", type=int, default=40)
+    p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from functools import partial
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from molclr_tpu.data import featurize_smiles, pack_batch
+    from molclr_tpu.data.augment import paired_augment
+    from molclr_tpu.data.loader import spec_for_graphs
+    from molclr_tpu.data.synthetic import synthetic_corpus
+    from molclr_tpu.losses import nt_xent_loss
+    from molclr_tpu.models import MolCLRNet
+    from molclr_tpu.train.optim import adam_torch
+    from molclr_tpu.train.state import TrainState
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    b = args.batch_size
+    smiles = synthetic_corpus(b, seed=7)
+    graphs = [g for g in (featurize_smiles(s) for s in smiles)
+              if g is not None and g.max_degree <= 6][:b]
+    spec = spec_for_graphs(graphs, len(graphs), slack=1.05)
+    batch = jax.device_put(pack_batch(graphs, spec))
+    n_nodes = int(np.asarray(batch.node_mask).sum())
+    n_edges = int(np.asarray(batch.edge_mask).sum())
+    msg_edges = n_edges + n_nodes  # per conv layer: bonds + self-loops
+    log(f"batch: {len(graphs)} mols, {n_nodes} atoms, {n_edges} directed "
+        f"edges; padded {spec}")
+
+    model = MolCLRNet(
+        num_layers=args.layers, emb_dim=args.emb_dim, gnn_type="gin",
+        dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32)
+    variables = jax.device_put(
+        model.init(jax.random.PRNGKey(0), batch, train=False))
+    tx = adam_torch(5e-4, 1e-5)
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=tx.init(variables["params"]), step=0)
+
+    def loss_fn(params, batch_stats, rng):
+        ra, ri, rj = jax.random.split(rng, 3)
+        vi, vj = paired_augment(batch, ra, args.aug)
+        (_, zi), upd = model.apply(
+            {"params": params, "batch_stats": batch_stats}, vi, train=True,
+            rngs={"dropout": ri}, mutable=["batch_stats"])
+        (_, zj), upd = model.apply(
+            {"params": params, "batch_stats": upd["batch_stats"]}, vj,
+            train=True, rngs={"dropout": rj}, mutable=["batch_stats"])
+        return nt_xent_loss(zi.astype(jnp.float32), zj.astype(jnp.float32),
+                            0.1, pair_mask=batch.graph_mask), \
+            upd["batch_stats"]
+
+    def one_step(state, rng):
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params,
+                                        updates)
+        return TrainState(params=params, batch_stats=stats,
+                          opt_state=opt_state, step=state.step + 1), loss
+
+    @partial(jax.jit, static_argnums=2)
+    def multi_step(state, rng, k):
+        def body(s, i):
+            return one_step(s, jax.random.fold_in(rng, i))
+        return jax.lax.scan(body, state, jnp.arange(k, dtype=jnp.int32))
+
+    rng = jax.random.PRNGKey(1)
+    meds = {}
+    for k in (args.k1, args.k2):
+        t0 = time.time()
+        state, losses = multi_step(state, rng, k)
+        lh = np.asarray(losses)  # readback = real completion barrier
+        log(f"K={k}: compile+run {time.time() - t0:.1f}s, "
+            f"loss {lh[0]:.3f}->{lh[-1]:.3f}")
+        ts = []
+        for i in range(args.reps):
+            t0 = time.perf_counter()
+            state, losses = multi_step(state, jax.random.fold_in(rng, i), k)
+            _ = np.asarray(losses)
+            ts.append(time.perf_counter() - t0)
+        meds[k] = float(np.median(ts))
+        log(f"K={k}: median dispatch {meds[k]*1e3:.1f} ms")
+
+    step_time = (meds[args.k2] - meds[args.k1]) / (args.k2 - args.k1)
+    if step_time <= 0:
+        log("WARNING: non-positive marginal time; falling back to K2 mean")
+        step_time = meds[args.k2] / args.k2
+    edges_per_step = 2 * args.layers * msg_edges
+    value = edges_per_step / step_time
+    log(f"marginal step {step_time*1e3:.3f} ms -> {value/1e6:.1f}M "
+        f"msg-edges/s")
+
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+    key = f"{dev.platform}_{args.dtype}_b{args.batch_size}_l{args.layers}"
+    baselines = {}
+    if os.path.exists(base_path):
+        baselines = json.load(open(base_path))
+    if key not in baselines:
+        baselines[key] = value
+        try:
+            with open(base_path, "w") as f:
+                json.dump(baselines, f, indent=2)
+        except OSError:
+            pass
+    vs = value / baselines[key]
+
+    print(json.dumps({
+        "metric": "edges/sec/chip (GIN-5L pretrain fwd+bwd, "
+                  f"{args.dtype}, B={len(graphs)})",
+        "value": round(value, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(vs, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -29,7 +29,7 @@ from molclr_tpu.data.featurize import (
     NUM_BOND_DIRS,
     NUM_BOND_TYPES,
 )
-from molclr_tpu.ops.ell import ell_aggregate
+from molclr_tpu.ops.scatter_free import gcn_aggregate, gine_aggregate
 
 
 def xavier_uniform_embed(key, shape, dtype=jnp.float32):
@@ -129,10 +129,10 @@ class GINEConv(nn.Module):
                         (NUM_BOND_TYPES, self.emb_dim))
         e2 = self.param("edge_embedding2", xavier_uniform_embed,
                         (NUM_BOND_DIRS, self.emb_dim))
-        edge_emb = (jnp.take(e1, batch.nbr_bond_type, axis=0)
-                    + jnp.take(e2, batch.nbr_bond_dir, axis=0)).astype(h.dtype)
         nbr_mask = batch.nbr_mask if aug_nbr_mask is None else aug_nbr_mask
-        agg = ell_aggregate(h, batch.nbr, nbr_mask, edge_emb)
+        agg = gine_aggregate(h, e1.astype(h.dtype), e2.astype(h.dtype),
+                             batch.nbr, batch.nbr_bond_type,
+                             batch.nbr_bond_dir, nbr_mask)
         d = self.emb_dim
         out = dense(2 * d, name="mlp_0", in_features=d)(agg)
         out = nn.relu(out)
@@ -169,17 +169,14 @@ class GCNConv(nn.Module):
 
         nbr_mask = batch.nbr_mask if aug_nbr_mask is None else aug_nbr_mask
         x = h @ weight.astype(h.dtype)
-        edge_emb = (jnp.take(e1[:, 0], batch.nbr_bond_type)
-                    + jnp.take(e2[:, 0], batch.nbr_bond_dir))[..., None]
-        edge_emb = edge_emb.astype(h.dtype)
+        norm = None
         if self.normalize:
             deg = nbr_mask.sum(axis=1).astype(h.dtype)  # includes self-loop
             dis = jax.lax.rsqrt(jnp.maximum(deg, 1.0))
-            norm = (jnp.take(dis, batch.nbr, axis=0)
-                    * dis[:, None])[..., None]          # [N,K,1]
-            msg = jnp.take(x, batch.nbr, axis=0) + edge_emb
-            msg = jnp.where(nbr_mask[..., None], msg * norm, 0)
-            out = msg.sum(axis=1)
-        else:
-            out = ell_aggregate(x, batch.nbr, nbr_mask, edge_emb)
+            # dis[n] * dis[j] is symmetric in (n, j), so the scatter-free
+            # adjoint of gcn_aggregate stays valid
+            norm = jnp.take(dis, batch.nbr, axis=0) * dis[:, None]  # [N,K]
+        out = gcn_aggregate(x, e1.astype(h.dtype), e2.astype(h.dtype),
+                            batch.nbr, batch.nbr_bond_type,
+                            batch.nbr_bond_dir, nbr_mask, norm)
         return out + bias.astype(h.dtype)

@@ -27,6 +27,7 @@ from molclr_tpu.models.layers import (
     dense,
     xavier_uniform_embed,
 )
+from molclr_tpu.ops.scatter_free import embed_lookup
 from molclr_tpu.ops.segment import graph_pool
 
 
@@ -47,8 +48,8 @@ class GNNTrunk(nn.Module):
                           (NUM_ATOM_TYPES, self.emb_dim))
         emb2 = self.param("x_embedding2", xavier_uniform_embed,
                           (NUM_CHIRALITY, self.emb_dim))
-        h = (jnp.take(emb1, batch.atom_type, axis=0)
-             + jnp.take(emb2, batch.chirality, axis=0)).astype(self.dtype)
+        h = (embed_lookup(emb1, batch.atom_type)
+             + embed_lookup(emb2, batch.chirality)).astype(self.dtype)
         h = jnp.where(batch.node_mask[:, None], h, 0)
 
         for layer in range(self.num_layers):
@@ -178,7 +179,7 @@ class MotifFineTuneNet(nn.Module):
         motif_table = self.param("motif_embedding",
                                  nn.initializers.normal(1.0),
                                  (self.num_motifs, self.feat_dim))
-        me = jnp.take(motif_table, motif_ids, axis=0)       # [G, C, F]
+        me = embed_lookup(motif_table, motif_ids)           # [G, C, F]
         slots = jnp.concatenate([me, hg[:, None, :]], axis=1)  # [G, C+1, F]
         slot_mask = jnp.concatenate(
             [motif_mask, batch.graph_mask[:, None]], axis=1)   # [G, C+1]

@@ -75,18 +75,26 @@ def segment_softmax(logits, segment_ids, num_segments, mask=None,
 
 def graph_pool(h, node_graph, node_mask, num_graphs, graph_n_nodes=None,
                method: str = "mean"):
-    """Node->graph readout. node_graph is sorted by construction (flat
-    packing appends molecules in order), which XLA exploits.
+    """Node->graph readout.
 
-    mean matches PyG global_mean_pool: denominator = number of (real) atoms
-    per graph (ref models/ginet_molclr.py:113)."""
-    if method == "add":
-        return segment_sum(h, node_graph, num_graphs, node_mask,
-                           indices_are_sorted=True)
-    if method == "mean":
-        counts = graph_n_nodes
-        return segment_mean(h, node_graph, num_graphs, node_mask,
-                            counts=counts, indices_are_sorted=True)
+    sum/mean are computed as a masked one-hot matmul A.T @ h ([G,N] x [N,D])
+    rather than a segment scatter: on TPU the matmul rides the MXU and its
+    adjoint is another matmul (the scatter lowering and its transposed
+    gather are both slower). mean matches PyG global_mean_pool: denominator
+    = number of real atoms per graph (ref models/ginet_molclr.py:113)."""
+    if method in ("add", "mean"):
+        a = jax.nn.one_hot(node_graph, num_graphs, dtype=h.dtype)
+        a = a * node_mask.astype(h.dtype)[:, None]        # [N, G]
+        out = jax.lax.dot_general(
+            a, h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if method == "mean":
+            if graph_n_nodes is None:
+                counts = a.sum(axis=0).astype(jnp.float32)
+            else:
+                counts = graph_n_nodes.astype(jnp.float32)
+            out = out / jnp.maximum(counts, 1.0)[:, None]
+        return out.astype(h.dtype)
     if method == "max":
         return segment_max(h, node_graph, num_graphs, node_mask,
                            indices_are_sorted=True)

@@ -31,9 +31,10 @@ from molclr_tpu.data.loader import (
     read_task_csv,
     spec_for_graphs,
 )
+from molclr_tpu.data.motifs import build_motif_vocab, encode_motif_vocab
 from molclr_tpu.data.splits import random_split, scaffold_split
 from molclr_tpu.data.tasks import TASKS, TaskSpec, qm9_label_scale
-from molclr_tpu.models import FineTuneNet
+from molclr_tpu.models import FineTuneNet, MotifFineTuneNet
 from molclr_tpu.train import checkpoints as ckpt_lib
 from molclr_tpu.train.config import FineTuneConfig
 from molclr_tpu.train.metrics import (
@@ -61,15 +62,19 @@ class FineTuner:
         self.cfg = cfg
         self.task = TASKS[cfg.task_name]
         self.target = target or self.task.targets[0]
-        m = cfg.model
-        self.model = FineTuneNet(
+        self.model = None            # built in setup_data (motif vocab size)
+        self.motif_vocab = None
+        self.normalizer: Normalizer | None = None
+        self._steps_built = False
+
+    def _model_kwargs(self):
+        m = self.cfg.model
+        return dict(
             task=self.task.task, num_layers=m.num_layers, emb_dim=m.emb_dim,
             feat_dim=m.feat_dim, gnn_type=m.gnn_type, pool=m.pool,
             drop_ratio=m.drop_ratio, pred_n_layer=m.pred_n_layer,
             pred_act=m.pred_act, normalize_gcn=m.normalize_gcn,
             dtype=jnp.bfloat16 if m.bf16 else jnp.float32)
-        self.normalizer: Normalizer | None = None
-        self._steps_built = False
 
     # ---- data ----
     def setup_data(self):
@@ -99,9 +104,16 @@ class FineTuner:
             labels = self.normalizer.norm(labels)
         self.train_labels = labels
 
+        if cfg.use_motifs:
+            # vocabulary over the entire dataset, as the reference does
+            # (finetune.py:125 over all smiles)
+            self.motif_vocab = build_motif_vocab(
+                smiles, max_motifs_per_mol=cfg.max_motifs_per_mol)
+
         self.spec = spec_for_graphs(graphs, cfg.batch_size, cfg.max_degree)
         lab = labels.astype(np.float32)
         self.iters = {}
+        self.split_motifs = {}
         for name, ids, shuffle, drop in [
             ("train", tr, True, True), ("valid", va, False, False),
             ("test", te, False, False),
@@ -110,21 +122,78 @@ class FineTuner:
                 [graphs[i] for i in ids], self.spec,
                 labels=lab[ids], shuffle=shuffle, drop_last=drop,
                 seed=cfg.seed)
+            if cfg.use_motifs:
+                self.split_motifs[name] = (
+                    self.motif_vocab.mol_motifs[ids],
+                    self.motif_vocab.mol_motif_mask[ids])
+        self._build_model()
         return self
+
+    def _build_model(self):
+        if self.cfg.use_motifs:
+            self.model = MotifFineTuneNet(
+                num_motifs=max(1, self.motif_vocab.size),
+                **self._model_kwargs())
+        else:
+            self.model = FineTuneNet(**self._model_kwargs())
+
+    def _batch_motifs(self, split: str, idx):
+        """Padded [n_graphs, C] motif ids/mask for a packed batch."""
+        ids_arr, mask_arr = self.split_motifs[split]
+        g = self.spec.n_graphs
+        c = ids_arr.shape[1]
+        mi = np.zeros((g, c), np.int32)
+        mm = np.zeros((g, c), bool)
+        mi[: len(idx)] = ids_arr[idx]
+        mm[: len(idx)] = mask_arr[idx]
+        return mi, mm
 
     # ---- state ----
     def setup_state(self, example_batch):
         cfg = self.cfg
-        variables = self.model.init(jax.random.PRNGKey(cfg.seed),
-                                    example_batch, train=False)
+        if cfg.use_motifs:
+            mi, mm = self._batch_motifs("train",
+                                        np.arange(min(2, len(
+                                            self.iters["train"].graphs))))
+            variables = self.model.init(jax.random.PRNGKey(cfg.seed),
+                                        example_batch, mi, mm, train=False)
+        else:
+            variables = self.model.init(jax.random.PRNGKey(cfg.seed),
+                                        example_batch, train=False)
         params, stats = variables["params"], variables.get("batch_stats", {})
         if cfg.pretrained:
             params, stats = self._warm_start(params, stats)
+        if cfg.use_motifs and self.motif_vocab.size > 0:
+            params = dict(params)
+            params["motif_embedding"] = jnp.asarray(
+                self._encode_motifs(params, stats))
         self.tx = two_group_adam(params, cfg.init_lr, cfg.init_base_lr,
                                  cfg.weight_decay)
         self.state = TrainState(params=params, batch_stats=stats,
                                 opt_state=self.tx.init(params), step=0)
         return self
+
+    def _encode_motifs(self, params, stats):
+        """Seed the motif table with plain-encoder features of each fragment
+        (ref finetune.py:144-161): build a FineTuneNet sharing the trunk/
+        feat_lin params and encode the vocabulary."""
+        plain = FineTuneNet(**self._model_kwargs())
+        plain_params = {k: v for k, v in params.items()
+                        if not k.startswith(("motif_",))
+                        and k != "motif_embedding"}
+        # drop head keys with motif-specific shapes; re-init the rest lazily
+        dummy = next(iter(self.iters["train"]))[0]
+        pv = plain.init(jax.random.PRNGKey(0), dummy, train=False)
+        from molclr_tpu.train.checkpoints import transfer_params
+
+        merged = transfer_params(plain_params, pv["params"])
+        merged_stats = transfer_params(stats, pv.get("batch_stats", {}))
+        table = encode_motif_vocab(
+            self.motif_vocab, plain,
+            {"params": merged, "batch_stats": merged_stats},
+            feat_dim=self.cfg.model.feat_dim,
+            max_degree=self.cfg.max_degree)
+        return table
 
     def _warm_start(self, params, stats):
         path = self.cfg.pretrained
@@ -156,30 +225,40 @@ class FineTuner:
                 per = jnp.abs(pred[:, 0] - labels)
             return (per * w).sum() / jnp.maximum(w.sum(), 1.0)
 
-        def loss_fn(params, batch_stats, batch, labels, rng):
-            (_, pred), upd = model.apply(
-                {"params": params, "batch_stats": batch_stats}, batch,
-                train=True, rngs={"dropout": rng},
-                mutable=["batch_stats"])
+        use_motifs = self.cfg.use_motifs
+
+        def apply_model(params, batch_stats, batch, motifs, train, rng=None):
+            args = (batch,) + (motifs if use_motifs else ())
+            kwargs = dict(train=train)
+            if train:
+                return model.apply(
+                    {"params": params, "batch_stats": batch_stats}, *args,
+                    rngs={"dropout": rng}, mutable=["batch_stats"], **kwargs)
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats}, *args,
+                **kwargs), {"batch_stats": batch_stats}
+
+        def loss_fn(params, batch_stats, batch, motifs, labels, rng):
+            (_, pred), upd = apply_model(params, batch_stats, batch, motifs,
+                                         True, rng)
             loss = compute_loss(pred.astype(jnp.float32), labels,
                                 batch.graph_mask)
             return loss, upd["batch_stats"]
 
-        def train_step(state, batch, labels, rng):
+        def train_step(state, batch, motifs, labels, rng):
             rng = jax.random.fold_in(rng, state.step)
             (loss, new_stats), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, state.batch_stats,
-                                       batch, labels, rng)
+                                       batch, motifs, labels, rng)
             updates, opt_state = self.tx.update(grads, state.opt_state,
                                                 state.params)
             params = optax.apply_updates(state.params, updates)
             return TrainState(params=params, batch_stats=new_stats,
                               opt_state=opt_state, step=state.step + 1), loss
 
-        def predict_step(state, batch):
-            _, pred = model.apply({"params": state.params,
-                                   "batch_stats": state.batch_stats},
-                                  batch, train=False)
+        def predict_step(state, batch, motifs):
+            (_, pred), _ = apply_model(state.params, state.batch_stats,
+                                       batch, motifs, False)
             return pred.astype(jnp.float32)
 
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
@@ -202,7 +281,9 @@ class FineTuner:
         state = state or self.state
         preds, labels = [], []
         for batch, lab, idx in self.iters[split]:
-            p = np.asarray(self._predict_step(state, batch))
+            motifs = (self._batch_motifs(split, idx)
+                      if self.cfg.use_motifs else ())
+            p = np.asarray(self._predict_step(state, batch, motifs))
             alive = np.asarray(batch.graph_mask)
             preds.append(p[alive])
             labels.append(np.asarray(lab)[: alive.sum()])
@@ -235,9 +316,11 @@ class FineTuner:
         for epoch in range(cfg.epochs):
             t0 = time.time()
             losses = []
-            for batch, labels, _ in self.iters["train"]:
+            for batch, labels, idx in self.iters["train"]:
+                motifs = (self._batch_motifs("train", idx)
+                          if self.cfg.use_motifs else ())
                 self.state, loss = self._train_step(self.state, batch,
-                                                    labels, rng)
+                                                    motifs, labels, rng)
                 losses.append(float(loss))
             val = self.evaluate("valid")
             score = direction * val["metric"]

@@ -52,10 +52,28 @@ def read_task_csv(path: str, target: str, task: str):
 
 
 def featurize_many(smiles: list[str], add_hs: bool = False,
-                   max_degree: int = 6, processes: int = 0):
+                   max_degree: int = 6, processes: int = 0,
+                   prefer_native: bool = True):
     """Featurize a corpus; returns (graphs, kept_indices). Molecules that
     fail to parse or exceed max_degree are dropped (the reference drops
-    unparseable rows; degree capping is a documented ELL constraint)."""
+    unparseable rows; degree capping is a documented ELL constraint).
+
+    Uses the native C++ featurizer when available (exact-parity tested);
+    falls back to the Python chem layer."""
+    if prefer_native:
+        from molclr_tpu import native
+
+        if native.native_available():
+            out = native.featurize_corpus_native(smiles, add_hs=add_hs)
+            if out is not None:
+                graphs0, kept0 = out
+                graphs, kept = [], []
+                for g, i in zip(graphs0, kept0):
+                    if g.n_atoms and g.max_degree > max_degree:
+                        continue
+                    graphs.append(g)
+                    kept.append(i)
+                return graphs, kept
     if processes and processes > 1:
         # spawn, not fork: JAX is multithreaded and fork() after backend
         # init can deadlock

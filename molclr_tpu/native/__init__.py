@@ -1,0 +1,148 @@
+"""ctypes bindings for the native C++ featurizer.
+
+The shared library is built on demand with g++ (no pybind11 in this
+environment); the build is cached next to the source. Falls back cleanly
+(native_available() == False) if no compiler is present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "featurizer.cpp")
+_LIB = os.path.join(_DIR, "libfeaturizer.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+MAX_ATOMS = 1024
+MAX_BONDS = 2048
+
+
+def _build() -> bool:
+    try:
+        if (os.path.exists(_LIB)
+                and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
+            return True
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not _build():
+            return None
+        lib = ctypes.CDLL(_LIB)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.mtpu_featurize.restype = ctypes.c_int
+        lib.mtpu_featurize.argtypes = [
+            ctypes.c_char_p, ctypes.c_int,
+            i32p, i32p, i32p, i32p, i32p, i32p,
+            i32p, i32p, ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.mtpu_featurize_batch.restype = ctypes.c_int
+        lib.mtpu_featurize_batch.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+            i32p, i32p, i32p, i32p, i32p, i32p,
+            i64p, i64p, i32p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def featurize_smiles_native(smiles: str, add_hs: bool = False):
+    """Single-molecule native featurization -> MolGraph (None on failure)."""
+    from molclr_tpu.data.featurize import MolGraph
+
+    lib = _load()
+    if lib is None:
+        return None
+    at = np.empty(MAX_ATOMS, np.int32)
+    ch = np.empty(MAX_ATOMS, np.int32)
+    es = np.empty(2 * MAX_BONDS, np.int32)
+    ed = np.empty(2 * MAX_BONDS, np.int32)
+    bt = np.empty(2 * MAX_BONDS, np.int32)
+    bd = np.empty(2 * MAX_BONDS, np.int32)
+    na = ctypes.c_int32(0)
+    nb = ctypes.c_int32(0)
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    rc = lib.mtpu_featurize(
+        smiles.encode(), int(add_hs), p(at), p(ch), p(es), p(ed), p(bt),
+        p(bd), ctypes.byref(na), ctypes.byref(nb), MAX_ATOMS, MAX_BONDS)
+    if rc != 0:
+        return None
+    n, m = na.value, nb.value
+    return MolGraph(at[:n].copy(), ch[:n].copy(), es[: 2 * m].copy(),
+                    ed[: 2 * m].copy(), bt[: 2 * m].copy(),
+                    bd[: 2 * m].copy())
+
+
+def featurize_corpus_native(smiles_list: list[str], add_hs: bool = False):
+    """Batch featurization of a corpus via one native call.
+
+    Returns (graphs, kept_indices) like loader.featurize_many."""
+    from molclr_tpu.data.featurize import MolGraph
+
+    lib = _load()
+    if lib is None:
+        return None
+    buf = ("\n".join(smiles_list) + "\n").encode()
+    n_mols = len(smiles_list)
+    # conservative capacity: average 128 atoms / 256 directed edges per mol
+    acap = max(1 << 16, 128 * n_mols)
+    ecap = max(1 << 17, 320 * n_mols)
+    at = np.empty(acap, np.int32)
+    ch = np.empty(acap, np.int32)
+    es = np.empty(ecap, np.int32)
+    ed = np.empty(ecap, np.int32)
+    bt = np.empty(ecap, np.int32)
+    bd = np.empty(ecap, np.int32)
+    aoff = np.empty(n_mols + 1, np.int64)
+    eoff = np.empty(n_mols + 1, np.int64)
+    ok = np.empty(n_mols, np.int32)
+
+    def p32(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    def p64(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    lib.mtpu_featurize_batch(
+        buf, len(buf), int(add_hs), p32(at), p32(ch), p32(es), p32(ed),
+        p32(bt), p32(bd), p64(aoff), p64(eoff), p32(ok),
+        acap, ecap, n_mols)
+
+    graphs, kept = [], []
+    for i in range(n_mols):
+        if not ok[i]:
+            continue
+        a0, a1 = aoff[i], aoff[i + 1]
+        e0, e1 = eoff[i], eoff[i + 1]
+        graphs.append(MolGraph(
+            at[a0:a1].copy(), ch[a0:a1].copy(), es[e0:e1].copy(),
+            ed[e0:e1].copy(), bt[e0:e1].copy(), bd[e0:e1].copy()))
+        kept.append(i)
+    return graphs, kept

@@ -1,0 +1,504 @@
+// Native SMILES featurizer for corpus-scale pretraining data.
+//
+// Clean-room C++ port of molclr_tpu/chem/smiles.py + the featurization
+// tables of molclr_tpu/data/featurize.py (which mirror the reference
+// dataset/dataset.py:26-109). The Python implementation is the semantic
+// source of truth; parity is enforced by tests/test_native.py over the
+// synthetic corpus and real drug SMILES.
+//
+// API (C, ctypes-friendly): one call per molecule writing into
+// caller-provided int32 buffers. Returns 0 on success, negative on parse
+// failure. Thread-safe (no globals).
+//
+// Build: g++ -O2 -shared -fPIC -o libfeaturizer.so featurizer.cpp
+
+#include <cctype>
+#include <cstdint>
+#include <cstring>
+#include <initializer_list>
+
+namespace {
+
+constexpr int MAX_ATOMS = 1024;
+constexpr int MAX_BONDS = 2048;
+constexpr int MAX_RINGS = 100;
+
+// chirality indices match CHIRALITY_LIST (ref dataset/dataset.py:27-32)
+enum Chir { CHI_NONE = 0, CHI_CW = 1, CHI_CCW = 2, CHI_OTHER = 3 };
+// bond types match BOND_LIST (ref dataset/dataset.py:33-38)
+enum BType { B_SINGLE = 0, B_DOUBLE = 1, B_TRIPLE = 2, B_AROMATIC = 3 };
+enum BDir { D_NONE = 0, D_UP = 1, D_DOWN = 2 };
+
+struct Atom {
+  int z = 0;
+  int charge = 0;
+  int chir = CHI_NONE;
+  bool aromatic = false;
+  int explicit_h = -1;  // -1 => implicit
+};
+
+struct Bond {
+  int a1, a2;
+  int type;
+  int dir;
+};
+
+struct Mol {
+  Atom atoms[MAX_ATOMS];
+  Bond bonds[MAX_BONDS];
+  int n_atoms = 0;
+  int n_bonds = 0;
+};
+
+// element symbols -> atomic number (two-char checked first)
+int symbol_z(const char* s, int* len) {
+  static const struct { const char* sym; int z; } two[] = {
+      {"He", 2}, {"Li", 3}, {"Be", 4}, {"Ne", 10}, {"Na", 11}, {"Mg", 12},
+      {"Al", 13}, {"Si", 14}, {"Cl", 17}, {"Ar", 18}, {"Ca", 20}, {"Sc", 21},
+      {"Ti", 22}, {"Cr", 24}, {"Mn", 25}, {"Fe", 26}, {"Co", 27}, {"Ni", 28},
+      {"Cu", 29}, {"Zn", 30}, {"Ga", 31}, {"Ge", 32}, {"As", 33}, {"Se", 34},
+      {"Br", 35}, {"Kr", 36}, {"Rb", 37}, {"Sr", 38}, {"Zr", 40}, {"Nb", 41},
+      {"Mo", 42}, {"Tc", 43}, {"Ru", 44}, {"Rh", 45}, {"Pd", 46}, {"Ag", 47},
+      {"Cd", 48}, {"In", 49}, {"Sn", 50}, {"Sb", 51}, {"Te", 52}, {"Xe", 54},
+      {"Cs", 55}, {"Ba", 56}, {"La", 57}, {"Ce", 58}, {"Pr", 59}, {"Nd", 60},
+      {"Pm", 61}, {"Sm", 62}, {"Eu", 63}, {"Gd", 64}, {"Tb", 65}, {"Dy", 66},
+      {"Ho", 67}, {"Er", 68}, {"Tm", 69}, {"Yb", 70}, {"Lu", 71}, {"Hf", 72},
+      {"Ta", 73}, {"Re", 75}, {"Os", 76}, {"Ir", 77}, {"Pt", 78}, {"Au", 79},
+      {"Hg", 80}, {"Tl", 81}, {"Pb", 82}, {"Bi", 83}, {"Po", 84}, {"At", 85},
+      {"Rn", 86}, {"Fr", 87}, {"Ra", 88}, {"Ac", 89}, {"Th", 90}, {"Pa", 91},
+      {"Np", 93}, {"Pu", 94}, {"Am", 95}, {"Cm", 96}, {"Bk", 97}, {"Cf", 98},
+      {"Es", 99}, {"Fm", 100}, {"Md", 101}, {"No", 102}, {"Lr", 103},
+  };
+  static const struct { char sym; int z; } one[] = {
+      {'H', 1}, {'B', 5}, {'C', 6}, {'N', 7}, {'O', 8}, {'F', 9},
+      {'P', 15}, {'S', 16}, {'K', 19}, {'V', 23}, {'Y', 39}, {'I', 53},
+      {'W', 74}, {'U', 92},
+  };
+  for (auto& t : two) {
+    if (s[0] == t.sym[0] && s[1] == t.sym[1]) {
+      *len = 2;
+      return t.z;
+    }
+  }
+  for (auto& o : one) {
+    if (s[0] == o.sym) {
+      *len = 1;
+      return o.z;
+    }
+  }
+  *len = 0;
+  return 0;
+}
+
+// normal valences (OpenSMILES): smallest >= sigma sum
+int default_valence(int z, double bos) {
+  auto pick = [&](std::initializer_list<int> vs) {
+    for (int v : vs)
+      if (v >= bos - 1e-9) return v;
+    return 0;
+  };
+  switch (z) {
+    case 5: return pick({3});
+    case 6: return pick({4});
+    case 7: return pick({3, 5});
+    case 8: return pick({2});
+    case 15: return pick({3, 5});
+    case 16: return pick({2, 4, 6});
+    case 9: return pick({1});
+    case 17: case 35: case 53: return pick({1, 3, 5, 7});
+    case 1: return pick({1});
+    default: return 0;
+  }
+}
+
+double bond_order(int t) {
+  switch (t) {
+    case B_SINGLE: return 1.0;
+    case B_DOUBLE: return 2.0;
+    case B_TRIPLE: return 3.0;
+    case B_AROMATIC: return 1.0;  // sigma part; +1 bonus handled separately
+  }
+  return 0.0;
+}
+
+int implicit_hs(const Mol& m, int idx) {
+  const Atom& a = m.atoms[idx];
+  if (a.explicit_h >= 0) return a.explicit_h;
+  double sigma = 0.0;
+  int n_arom = 0;
+  for (int b = 0; b < m.n_bonds; ++b) {
+    if (m.bonds[b].a1 == idx || m.bonds[b].a2 == idx) {
+      sigma += bond_order(m.bonds[b].type);
+      if (m.bonds[b].type == B_AROMATIC) n_arom++;
+    }
+  }
+  double bonus = n_arom > 0 ? 1.0 : 0.0;
+  int dv = default_valence(a.z, sigma);
+  if (dv == 0) return 0;
+  int eff = dv;
+  if (a.z == 7 || a.z == 15 || a.z == 5) eff = dv + a.charge;
+  else if ((a.z == 8 || a.z == 16 || a.z == 34 || a.z == 52) && a.charge != 0)
+    eff = dv + a.charge;
+  else if (a.z == 6 && a.charge != 0)
+    eff = dv - (a.charge > 0 ? a.charge : -a.charge);
+  int n = (int)(eff - sigma - bonus + 0.5);
+  return n > 0 ? n : 0;
+}
+
+struct RingSlot {
+  int atom = -1;
+  int btype = -1;   // -1 = unspecified
+  int bdir = D_NONE;
+};
+
+bool add_bond(Mol& m, int a1, int a2, int type, int dir) {
+  if (m.n_bonds >= MAX_BONDS) return false;
+  m.bonds[m.n_bonds++] = {a1, a2, type, dir};
+  return true;
+}
+
+// Parse a bracket atom body (between '[' and ']').
+bool parse_bracket(const char* s, int len, Atom* out) {
+  int i = 0;
+  while (i < len && isdigit(s[i])) i++;  // isotope (ignored in features)
+  if (i >= len) return false;
+  Atom a;
+  if (s[i] == '*') {
+    a.z = 0;
+    i++;
+  } else if (islower(s[i])) {
+    char up[3] = {(char)toupper(s[i]), 0, 0};
+    // aromatic two-char: se, as, te, si
+    if (i + 1 < len && islower(s[i + 1]) &&
+        ((s[i] == 's' && (s[i + 1] == 'e' || s[i + 1] == 'i')) ||
+         (s[i] == 'a' && s[i + 1] == 's') ||
+         (s[i] == 't' && s[i + 1] == 'e'))) {
+      up[1] = s[i + 1];
+      i += 2;
+    } else {
+      if (!strchr("bcnops", s[i])) return false;
+      i += 1;
+    }
+    int l = 0;
+    a.z = symbol_z(up, &l);
+    if (a.z == 0) return false;
+    a.aromatic = true;
+  } else {
+    int l = 0;
+    a.z = symbol_z(s + i, &l);
+    if (a.z == 0 || i + l > len) return false;
+    i += l;
+  }
+  if (i < len && s[i] == '@') {
+    if (i + 1 < len && s[i + 1] == '@') {
+      a.chir = CHI_CW;
+      i += 2;
+    } else {
+      a.chir = CHI_CCW;
+      i += 1;
+    }
+    // extended classes -> OTHER
+    if (i + 1 < len &&
+        ((s[i] == 'T' && s[i + 1] == 'H') || (s[i] == 'A' && s[i + 1] == 'L') ||
+         (s[i] == 'S' && s[i + 1] == 'P') || (s[i] == 'T' && s[i + 1] == 'B') ||
+         (s[i] == 'O' && s[i + 1] == 'H'))) {
+      a.chir = CHI_OTHER;
+      i += 2;
+      while (i < len && isdigit(s[i])) i++;
+    }
+  }
+  a.explicit_h = 0;
+  if (i < len && s[i] == 'H') {
+    i++;
+    a.explicit_h = 1;
+    int num = 0, got = 0;
+    while (i < len && isdigit(s[i])) {
+      num = num * 10 + (s[i] - '0');
+      i++;
+      got = 1;
+    }
+    if (got) a.explicit_h = num;
+  }
+  while (i < len && (s[i] == '+' || s[i] == '-')) {
+    int sign = s[i] == '+' ? 1 : -1;
+    i++;
+    int num = 0, got = 0;
+    while (i < len && isdigit(s[i])) {
+      num = num * 10 + (s[i] - '0');
+      i++;
+      got = 1;
+    }
+    if (got) {
+      a.charge += sign * num;
+    } else {
+      a.charge += sign;
+      while (i < len && ((sign == 1 && s[i] == '+') ||
+                         (sign == -1 && s[i] == '-'))) {
+        a.charge += sign;
+        i++;
+      }
+    }
+  }
+  if (i < len && s[i] == ':') {  // atom map, ignored
+    i++;
+    if (i >= len || !isdigit(s[i])) return false;
+    while (i < len && isdigit(s[i])) i++;
+  }
+  if (i != len) return false;
+  *out = a;
+  return true;
+}
+
+bool parse_smiles(const char* s, Mol& m) {
+  int i = 0;
+  int n = (int)strlen(s);
+  int prev = -1;
+  int pend_type = -1;  // -1 none
+  int pend_dir = D_NONE;
+  int stack[MAX_ATOMS];
+  int sp = 0;
+  RingSlot rings[MAX_RINGS];
+
+  auto attach = [&](int idx) -> bool {
+    if (prev >= 0) {
+      int bt = pend_type;
+      if (bt < 0)
+        bt = (m.atoms[prev].aromatic && m.atoms[idx].aromatic) ? B_AROMATIC
+                                                              : B_SINGLE;
+      if (!add_bond(m, prev, idx, bt, pend_dir)) return false;
+    }
+    prev = idx;
+    pend_type = -1;
+    pend_dir = D_NONE;
+    return true;
+  };
+
+  auto close_ring = [&](int num) -> bool {
+    if (prev < 0 || num >= MAX_RINGS) return false;
+    RingSlot& r = rings[num];
+    if (r.atom >= 0) {
+      int bt = pend_type >= 0 ? pend_type : r.btype;
+      if (bt < 0)
+        bt = (m.atoms[r.atom].aromatic && m.atoms[prev].aromatic) ? B_AROMATIC
+                                                                  : B_SINGLE;
+      int bd = pend_dir != D_NONE ? pend_dir : r.bdir;
+      if (r.atom == prev) return false;
+      if (!add_bond(m, r.atom, prev, bt, bd)) return false;
+      r.atom = -1;
+    } else {
+      r.atom = prev;
+      r.btype = pend_type;
+      r.bdir = pend_dir;
+    }
+    pend_type = -1;
+    pend_dir = D_NONE;
+    return true;
+  };
+
+  while (i < n) {
+    char c = s[i];
+    switch (c) {
+      case '-': pend_type = B_SINGLE; i++; break;
+      case '=': pend_type = B_DOUBLE; i++; break;
+      case '#': pend_type = B_TRIPLE; i++; break;
+      case ':': pend_type = B_AROMATIC; i++; break;
+      case '/': pend_type = B_SINGLE; pend_dir = D_UP; i++; break;
+      case '\\': pend_type = B_SINGLE; pend_dir = D_DOWN; i++; break;
+      case '(':
+        if (sp >= MAX_ATOMS) return false;
+        stack[sp++] = prev;
+        i++;
+        break;
+      case ')':
+        if (sp == 0) return false;
+        prev = stack[--sp];
+        i++;
+        break;
+      case '.':
+        prev = -1;
+        pend_type = -1;
+        pend_dir = D_NONE;
+        i++;
+        break;
+      case '%': {
+        if (i + 2 >= n || !isdigit(s[i + 1]) || !isdigit(s[i + 2]))
+          return false;
+        if (!close_ring((s[i + 1] - '0') * 10 + (s[i + 2] - '0')))
+          return false;
+        i += 3;
+        break;
+      }
+      case '[': {
+        const char* end = strchr(s + i, ']');
+        if (!end) return false;
+        Atom a;
+        if (!parse_bracket(s + i + 1, (int)(end - s - i - 1), &a))
+          return false;
+        if (m.n_atoms >= MAX_ATOMS) return false;
+        m.atoms[m.n_atoms] = a;
+        if (!attach(m.n_atoms)) return false;
+        m.n_atoms++;
+        i = (int)(end - s) + 1;
+        break;
+      }
+      case '*': {
+        if (m.n_atoms >= MAX_ATOMS) return false;
+        Atom a;
+        a.z = 0;
+        a.explicit_h = 0;
+        m.atoms[m.n_atoms] = a;
+        if (!attach(m.n_atoms)) return false;
+        m.n_atoms++;
+        i++;
+        break;
+      }
+      default: {
+        if (isdigit(c)) {
+          if (!close_ring(c - '0')) return false;
+          i++;
+          break;
+        }
+        Atom a;
+        if (c == 'C' && s[i + 1] == 'l') {
+          a.z = 17;
+          i += 2;
+        } else if (c == 'B' && s[i + 1] == 'r') {
+          a.z = 35;
+          i += 2;
+        } else if (c == 'B' || c == 'C' || c == 'N' || c == 'O' ||
+                   c == 'P' || c == 'S' || c == 'F' || c == 'I') {
+          int l;
+          char sym[2] = {c, 0};
+          a.z = symbol_z(sym, &l);
+          i++;
+        } else if (islower(c) && strchr("bcnops", c)) {
+          int l;
+          char sym[2] = {(char)toupper(c), 0};
+          a.z = symbol_z(sym, &l);
+          a.aromatic = true;
+          i++;
+        } else {
+          return false;
+        }
+        if (m.n_atoms >= MAX_ATOMS) return false;
+        m.atoms[m.n_atoms] = a;
+        if (!attach(m.n_atoms)) return false;
+        m.n_atoms++;
+        break;
+      }
+    }
+  }
+  if (sp != 0 || m.n_atoms == 0) return false;
+  for (int r = 0; r < MAX_RINGS; ++r)
+    if (rings[r].atom >= 0) return false;
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Featurize one SMILES. Output buffers (int32): atom_type/chirality sized
+// >= max_atoms; edge_src/edge_dst/bond_type/bond_dir sized >= 2*max_bonds.
+// Writes *n_atoms / *n_bonds. Returns 0 ok, -1 parse error, -2 overflow.
+int mtpu_featurize(const char* smiles, int add_hs,
+                   int32_t* atom_type, int32_t* chirality,
+                   int32_t* edge_src, int32_t* edge_dst,
+                   int32_t* bond_type, int32_t* bond_dir,
+                   int32_t* n_atoms, int32_t* n_bonds,
+                   int32_t max_atoms, int32_t max_bonds) {
+  Mol m;
+  if (!parse_smiles(smiles, m)) return -1;
+
+  int base_atoms = m.n_atoms;
+  if (add_hs) {
+    for (int a = 0; a < base_atoms; ++a) {
+      int nh = implicit_hs(m, a);
+      for (int h = 0; h < nh; ++h) {
+        if (m.n_atoms >= MAX_ATOMS || m.n_bonds >= MAX_BONDS) return -2;
+        Atom ha;
+        ha.z = 1;
+        ha.explicit_h = 0;
+        m.atoms[m.n_atoms] = ha;
+        m.bonds[m.n_bonds++] = {a, m.n_atoms, B_SINGLE, D_NONE};
+        m.n_atoms++;
+      }
+    }
+  }
+
+  if (m.n_atoms > max_atoms || m.n_bonds > max_bonds) return -2;
+  for (int a = 0; a < m.n_atoms; ++a) {
+    atom_type[a] = m.atoms[a].z - 1;  // ATOM_LIST.index == Z-1
+    int ch = m.atoms[a].chir;
+    chirality[a] = ch >= 3 ? 0 : ch;  // quirk-Q1 fix: OTHER -> UNSPECIFIED
+  }
+  for (int b = 0; b < m.n_bonds; ++b) {
+    edge_src[2 * b] = m.bonds[b].a1;
+    edge_dst[2 * b] = m.bonds[b].a2;
+    edge_src[2 * b + 1] = m.bonds[b].a2;
+    edge_dst[2 * b + 1] = m.bonds[b].a1;
+    bond_type[2 * b] = bond_type[2 * b + 1] = m.bonds[b].type;
+    bond_dir[2 * b] = bond_dir[2 * b + 1] = m.bonds[b].dir;
+  }
+  *n_atoms = m.n_atoms;
+  *n_bonds = m.n_bonds;
+  return 0;
+}
+
+// Batch API over a newline-separated buffer; outputs are written
+// contiguously with per-molecule offsets. Returns number of successfully
+// featurized molecules; failed rows get atom_offsets[i+1]==atom_offsets[i].
+int mtpu_featurize_batch(const char* buffer, int64_t buf_len, int add_hs,
+                         int32_t* atom_type, int32_t* chirality,
+                         int32_t* edge_src, int32_t* edge_dst,
+                         int32_t* bond_type, int32_t* bond_dir,
+                         int64_t* atom_offsets, int64_t* edge_offsets,
+                         int32_t* ok_flags,
+                         int64_t atom_capacity, int64_t edge_capacity,
+                         int32_t max_mols) {
+  int n_ok = 0;
+  int mol = 0;
+  int64_t apos = 0, epos = 0;
+  int64_t i = 0;
+  char line[4096];
+  atom_offsets[0] = 0;
+  edge_offsets[0] = 0;
+  while (i < buf_len && mol < max_mols) {
+    int64_t j = i;
+    while (j < buf_len && buffer[j] != '\n') j++;
+    int64_t len = j - i;
+    if (len > 0 && len < (int64_t)sizeof(line)) {
+      memcpy(line, buffer + i, len);
+      line[len] = 0;
+      // CSV compatibility: take the last comma field
+      char* last = strrchr(line, ',');
+      const char* sm = last ? last + 1 : line;
+      int32_t na = 0, nb = 0;
+      int rc = -2;
+      if (apos + MAX_ATOMS <= atom_capacity &&
+          epos + 2 * MAX_BONDS <= edge_capacity) {
+        rc = mtpu_featurize(sm, add_hs, atom_type + apos, chirality + apos,
+                            edge_src + epos, edge_dst + epos,
+                            bond_type + epos, bond_dir + epos, &na, &nb,
+                            MAX_ATOMS, MAX_BONDS);
+      }
+      if (rc == 0) {
+        apos += na;
+        epos += 2 * nb;
+        ok_flags[mol] = 1;
+        n_ok++;
+      } else {
+        ok_flags[mol] = 0;
+      }
+    } else {
+      ok_flags[mol] = 0;
+    }
+    atom_offsets[mol + 1] = apos;
+    edge_offsets[mol + 1] = epos;
+    mol++;
+    i = j + 1;
+  }
+  return n_ok;
+}
+
+}  // extern "C"

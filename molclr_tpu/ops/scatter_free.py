@@ -60,20 +60,30 @@ embed_lookup.defvjp(_embed_fwd, _embed_bwd)
 # ---------- shared helpers ----------
 
 def _weighted_gather_sum(h, nbr, w):
-    """sum_k w[:, k] * h[nbr[:, k]] as K accumulated [N, D] gathers.
-    w is float [N, K] (mask, optionally x normalization)."""
+    """sum_k w[:, k] * h[nbr[:, k]] as K accumulated [N, D] row-gathers.
+
+    No [N, K, D] intermediate is ever formed (it forces relayouts on TPU).
+    Benchmarked alternatives on v5e: a single flat [K*N] gather with
+    column-major slicing is ~1.5x SLOWER than K accumulated gathers."""
     k_slots = nbr.shape[1]
     acc = None
     for k in range(k_slots):
-        term = jnp.take(h, nbr[:, k], axis=0) * w[:, k : k + 1]
+        term = jnp.take(h, nbr[:, k], axis=0) \
+            * w[:, k : k + 1].astype(h.dtype)
         acc = term if acc is None else acc + term
     return acc
 
 
 def _counts(idx, w, num):
-    """cnt[n, t] = sum_k onehot(idx[n,k], t) * w[n,k]  -> [N, num]."""
-    oh = jax.nn.one_hot(idx, num, dtype=w.dtype)          # [N, K, num]
-    return (oh * w[..., None]).sum(axis=1)
+    """cnt[n, t] = sum_k onehot(idx[n,k], t) * w[n,k] -> [N, num],
+    accumulated per slot to avoid the [N, K, num] intermediate."""
+    k_slots = idx.shape[1]
+    acc = None
+    for k in range(k_slots):
+        term = jax.nn.one_hot(idx[:, k], num, dtype=w.dtype) \
+            * w[:, k : k + 1]
+        acc = term if acc is None else acc + term
+    return acc
 
 
 def _matmul(a, b, out_dtype):

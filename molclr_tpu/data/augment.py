@@ -62,11 +62,16 @@ def _mask_atoms(batch, flag):
 
 
 def _apply_bond_drop(batch, drop_bond):
-    """Kill both directed rows and both ELL slots of dropped bonds."""
-    drop_ext = jnp.concatenate(
-        [drop_bond, jnp.zeros(1, bool)])               # sentinel id = n_bonds
-    edge_mask = batch.edge_mask & jnp.logical_not(drop_ext[batch.edge_bond])
-    nbr_mask = batch.nbr_mask & jnp.logical_not(drop_ext[batch.nbr_bond])
+    """Kill both directed rows and both ELL slots of dropped bonds.
+
+    The drop table is gathered as int32, not bool: TPU gathers from pred
+    arrays use a packed bit layout that profiled ~100x slower than int32
+    gathers (the two bool-gather fusions dominated the whole train step)."""
+    keep = jnp.concatenate(
+        [jnp.logical_not(drop_bond), jnp.ones(1, bool)]  # sentinel id
+    ).astype(jnp.int32)
+    edge_mask = batch.edge_mask & (jnp.take(keep, batch.edge_bond) > 0)
+    nbr_mask = batch.nbr_mask & (jnp.take(keep, batch.nbr_bond) > 0)
     return edge_mask, nbr_mask
 
 
@@ -148,7 +153,9 @@ def subgraph_augment(batch, rng, frac: float = 0.25, max_waves: int = 32,
                                 start_rank_slot)
     atom_type, chirality = _mask_atoms(batch, removed)
     bsrc, bdst = _bond_endpoints(batch)
-    drop_bond = batch.bond_mask & (removed[bsrc] | removed[bdst])
+    rem = removed.astype(jnp.int32)  # int32 gathers (see _apply_bond_drop)
+    drop_bond = batch.bond_mask & (
+        (jnp.take(rem, bsrc) | jnp.take(rem, bdst)) > 0)
     edge_mask, nbr_mask = _apply_bond_drop(batch, drop_bond)
     return batch.replace(atom_type=atom_type, chirality=chirality,
                          edge_mask=edge_mask, nbr_mask=nbr_mask)
@@ -191,7 +198,9 @@ def mix_augment(batch, rng, sub_frac_max: float = 0.2,
     # bond deletion down to ceil(bond_keep * M) survivors
     # (ref dataset_mix.py:180,184: num_mask_edges = M_rem - ceil(0.75 M))
     bsrc, bdst = _bond_endpoints(batch)
-    drop_sub = batch.bond_mask & (removed[bsrc] | removed[bdst])
+    rem = removed.astype(jnp.int32)  # int32 gathers (see _apply_bond_drop)
+    drop_sub = batch.bond_mask & (
+        (jnp.take(rem, bsrc) | jnp.take(rem, bdst)) > 0)
     keep_cap = jnp.ceil(bond_keep * batch.graph_n_bonds).astype(jnp.int32)
     bkey = jnp.where(drop_sub, _INF_TIME,
                      _rand_keys(rng_b, batch.num_bonds))

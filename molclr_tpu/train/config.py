@@ -49,6 +49,8 @@ class PretrainConfig:
     seed: int = 0
     featurize_processes: int = 2
     data_axis: str = ""             # mesh axis name for DP ('' = single chip)
+    steps_per_dispatch: int = 8     # train steps folded into one jitted scan
+                                    # (amortizes dispatch overhead; 1 = off)
 
 
 @dataclass

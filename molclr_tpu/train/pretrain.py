@@ -135,6 +135,13 @@ class Pretrainer:
             return TrainState(params=params, batch_stats=new_stats,
                               opt_state=opt_state, step=state.step + 1), loss
 
+        def multi_step(state, stacked_batches, rng):
+            """S train steps in one dispatch: real data per step via a scan
+            over the stacked batch axis (amortizes the per-dispatch overhead
+            of the TPU runtime)."""
+            return jax.lax.scan(
+                lambda s, b: train_step(s, b, rng), state, stacked_batches)
+
         def eval_step(state, batch, rng):
             vi, vj = paired_augment(batch, rng, cfg.aug)
             _, zi = model.apply({"params": state.params,
@@ -149,9 +156,25 @@ class Pretrainer:
                                 pair_mask=batch.graph_mask)
 
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._multi_step = jax.jit(multi_step, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
 
     # ---- loops ----
+    def _dispatch(self, batches, rng, log, epoch, cfg):
+        if len(batches) == 1:
+            self.state, loss = self._train_step(self.state, batches[0], rng)
+            losses = [float(loss)]
+        else:
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs, axis=0), *batches)
+            self.state, loss_arr = self._multi_step(self.state, stacked, rng)
+            losses = [float(x) for x in np.asarray(loss_arr)]
+        step = int(self.state.step)
+        if step % cfg.log_every_steps < len(batches):
+            log(f"epoch {epoch} step {step} loss {losses[-1]:.4f} "
+                f"lr {float(self.schedule(step)):.6f}")
+        return losses
+
     def validate(self, rng) -> float:
         losses = []
         for i, (batch, _, _) in enumerate(self.valid_iter):
@@ -170,18 +193,21 @@ class Pretrainer:
         rng = jax.random.PRNGKey(cfg.seed + 1)
         best_val = float("inf")
         history = []
+        s_fold = max(1, cfg.steps_per_dispatch)
         for epoch in range(cfg.epochs):
             t0 = time.time()
             losses = []
+            pending = []
             for batch, _, _ in self.train_iter:
+                pending.append(batch)
+                if len(pending) < s_fold:
+                    continue
+                losses.extend(self._dispatch(pending, rng, log, epoch, cfg))
+                pending = []
+            for batch in pending:  # epoch remainder, one step per dispatch
                 self.state, loss = self._train_step(self.state, batch, rng)
-                losses.append(loss)
-                step = int(self.state.step)
-                if step % cfg.log_every_steps == 0:
-                    log(f"epoch {epoch} step {step} "
-                        f"loss {float(loss):.4f} "
-                        f"lr {float(self.schedule(step)):.6f}")
-            train_loss = float(np.mean([float(x) for x in losses]))
+                losses.append(float(loss))
+            train_loss = float(np.mean(losses)) if losses else float("nan")
             record = {"epoch": epoch, "train_loss": train_loss,
                       "time_s": round(time.time() - t0, 2)}
             if (epoch + 1) % cfg.eval_every_epochs == 0:

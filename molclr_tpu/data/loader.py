@@ -99,7 +99,14 @@ def spec_for_graphs(graphs: list[MolGraph], batch_size: int,
                     quantile: float = 1.0) -> PadSpec:
     """A PadSpec that fits `batch_size` molecules drawn from this corpus.
     quantile < 1 trades coverage for padding efficiency; oversized batches
-    fall back to dropping molecules at pack time."""
+    fall back to dropping molecules at pack time.
+
+    max_degree acts as a CAP: the spec uses the corpus's actual maximum
+    degree when smaller, shrinking the ELL slot count K (every slot costs a
+    full [N, D] gather in fwd and bwd — organic corpora usually need K=5,
+    not 7)."""
+    data_max_deg = max((g.max_degree for g in graphs), default=max_degree)
+    max_degree = min(max_degree, max(1, data_max_deg))
     atoms = np.array([g.n_atoms for g in graphs])
     edges = np.array([g.edge_src.shape[0] for g in graphs])
     if quantile >= 1.0:

@@ -65,6 +65,12 @@ class Pretrainer:
         self.train_iter = BatchIterator(
             [graphs[i] for i in train_ids], self.spec, shuffle=True,
             drop_last=True, seed=cfg.seed)
+        tr = [graphs[i] for i in train_ids]
+        self._mean_real_nodes = float(np.mean([g.n_atoms for g in tr])) \
+            * cfg.batch_size if tr else 0.0
+        self._mean_real_edges = float(np.mean(
+            [g.edge_src.shape[0] for g in tr])) * cfg.batch_size \
+            if tr else 0.0
         self.valid_iter = BatchIterator(
             [graphs[i] for i in valid_ids], self.spec, shuffle=False,
             drop_last=False, seed=cfg.seed)
@@ -208,8 +214,18 @@ class Pretrainer:
                 self.state, loss = self._train_step(self.state, batch, rng)
                 losses.append(float(loss))
             train_loss = float(np.mean(losses)) if losses else float("nan")
+            # throughput accounting (SURVEY §5.1): message edges processed =
+            # 2 views x layers x (real directed edges + self-loops) per step
+            n_steps = len(losses)
+            epoch_s = time.time() - t0
+            edges_per_step = (2 * cfg.model.num_layers
+                              * (self._mean_real_edges
+                                 + self._mean_real_nodes))
             record = {"epoch": epoch, "train_loss": train_loss,
-                      "time_s": round(time.time() - t0, 2)}
+                      "time_s": round(epoch_s, 2),
+                      "steps": n_steps,
+                      "edges_per_sec": round(
+                          edges_per_step * n_steps / max(epoch_s, 1e-9))}
             if (epoch + 1) % cfg.eval_every_epochs == 0:
                 val = self.validate(jax.random.fold_in(rng, 10_000 + epoch))
                 record["valid_loss"] = val

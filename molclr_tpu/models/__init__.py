@@ -16,6 +16,7 @@ from molclr_tpu.models.layers import (
     torch_linear_bias,
 )
 from molclr_tpu.models.nets import (
+    LinkFineTuneNet,
     GNNTrunk,
     MolCLRNet,
     FineTuneNet,
@@ -25,5 +26,5 @@ from molclr_tpu.models.nets import (
 __all__ = [
     "MaskedBatchNorm", "GINEConv", "GCNConv",
     "xavier_uniform_embed", "torch_linear_kernel", "torch_linear_bias",
-    "GNNTrunk", "MolCLRNet", "FineTuneNet", "MotifFineTuneNet",
+    "GNNTrunk", "MolCLRNet", "FineTuneNet", "MotifFineTuneNet", "LinkFineTuneNet",
 ]

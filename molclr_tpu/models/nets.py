@@ -141,6 +141,63 @@ class FineTuneNet(nn.Module):
         return hg, pred
 
 
+class LinkFineTuneNet(nn.Module):
+    """Label-embedding ("link") fine-tune variant (ref
+    models/ginet_finetune_link.py:52-162 — shipped but unused in the
+    reference, quirk Q12; provided here for inventory parity).
+
+    Scores both label hypotheses: for each molecule, the pooled feature is
+    concatenated with label_lin(label_embedding[y]) for y in {0, 1} and each
+    pair runs through the shared pred head; output [G, 2] logits."""
+
+    num_layers: int = 5
+    emb_dim: int = 300
+    feat_dim: int = 512
+    gnn_type: str = "gin"
+    pool: str = "mean"
+    drop_ratio: float = 0.0
+    pred_n_layer: int = 2
+    pred_act: str = "softplus"
+    bn_axis_name: str | None = None
+    normalize_gcn: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        h = GNNTrunk(self.num_layers, self.emb_dim, self.gnn_type,
+                     self.drop_ratio, self.bn_axis_name, self.normalize_gcn,
+                     self.dtype, name="trunk")(batch, train)
+        hg = graph_pool(h, batch.node_graph, batch.node_mask,
+                        batch.num_graphs, batch.graph_n_nodes, self.pool)
+        hg = dense(self.feat_dim, name="feat_lin",
+                   in_features=self.emb_dim)(hg)
+
+        label_table = self.param("label_embedding",
+                                 nn.initializers.normal(1.0),
+                                 (2, self.feat_dim))
+        lab = nn.Dense(self.feat_dim, name="label_lin",
+                       kernel_init=nn.initializers.xavier_uniform())(
+            label_table)                                    # [2, F]
+        # shared head modules applied to both hypotheses (the reference
+        # calls the same pred_head twice)
+        act = {"softplus": nn.softplus, "relu": nn.relu}[self.pred_act]
+        half = self.feat_dim // 2
+        head = [dense(half, name="pred_0", in_features=2 * self.feat_dim)]
+        for i in range(1, max(1, self.pred_n_layer)):
+            head.append(dense(half, name=f"pred_{i}", in_features=half))
+        out_lin = dense(1, name="pred_out", in_features=half)
+
+        g = hg.shape[0]
+        scores = []
+        for y in range(2):
+            z = jnp.concatenate(
+                [hg, jnp.broadcast_to(lab[y], (g, self.feat_dim))], axis=-1)
+            for layer in head:
+                z = act(layer(z))
+            scores.append(out_lin(z))
+        return hg, jnp.concatenate(scores, axis=-1)         # [G, 2]
+
+
 class MotifFineTuneNet(nn.Module):
     """Fine-tune network with the fork's motif message-passing head.
 

@@ -33,6 +33,8 @@ NEG = -1e30
 
 
 def _fwd_kernel(reps_ref, inv_t_ref, m_ref, l_ref, pos_ref, *, blk: int):
+    # reps fully VMEM-resident (compiled Mosaic only loads from VMEM/SMEM);
+    # per-row stats are [n_blocks, blk] so stores are 2-D rows.
     n, d = reps_ref.shape
     n_blocks = n // blk
     i = pl.program_id(0)
@@ -66,9 +68,9 @@ def _fwd_kernel(reps_ref, inv_t_ref, m_ref, l_ref, pos_ref, *, blk: int):
         return m_new, l, pos
 
     m, l, pos = jax.lax.fori_loop(0, n_blocks, body, (m, l, pos))
-    m_ref[pl.ds(i * blk, blk)] = m
-    l_ref[pl.ds(i * blk, blk)] = l
-    pos_ref[pl.ds(i * blk, blk)] = pos
+    m_ref[i, :] = m
+    l_ref[i, :] = l
+    pos_ref[i, :] = pos
 
 
 def _bwd_kernel(reps_ref, inv_t_ref, m_ref, l_ref, dreps_ref, *, blk: int):
@@ -83,8 +85,8 @@ def _bwd_kernel(reps_ref, inv_t_ref, m_ref, l_ref, dreps_ref, *, blk: int):
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)[:, 0] \
         + i * blk
     partner = jnp.where(row_ids < b, row_ids + b, row_ids - b)
-    m_rows = m_ref[pl.ds(i * blk, blk)]
-    l_rows = l_ref[pl.ds(i * blk, blk)]
+    m_rows = m_ref[i, :]
+    l_rows = l_ref[i, :]
 
     acc = jnp.zeros((blk, d), jnp.float32)
 
@@ -104,8 +106,8 @@ def _bwd_kernel(reps_ref, inv_t_ref, m_ref, l_ref, dreps_ref, *, blk: int):
             p, cols, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         # P^T block: other rows' (cols' row-statistics) softmax over my rows
-        m_cols = m_ref[pl.ds(j * blk, blk)]
-        l_cols = l_ref[pl.ds(j * blk, blk)]
+        m_cols = m_ref[j, :]
+        l_cols = l_ref[j, :]
         col_partner = jnp.where(col_ids < b, col_ids + b, col_ids - b)
         pt = jnp.exp(jnp.where(diag, NEG, s)
                      - m_cols[None, :]) / l_cols[None, :] * scale
@@ -129,30 +131,33 @@ def _choose_blk(n: int) -> int:
 
 def _run_fwd(reps, inv_t, blk, interpret):
     n, d = reps.shape
-    return pl.pallas_call(
+    nb = n // blk
+    m, l, pos = pl.pallas_call(
         functools.partial(_fwd_kernel, blk=blk),
-        grid=(n // blk,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
-        out_shape=[jax.ShapeDtypeStruct((n,), jnp.float32)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((nb, blk), jnp.float32)] * 3,
         interpret=interpret,
     )(reps, inv_t)
+    return m.reshape(n), l.reshape(n), pos.reshape(n)
 
 
 def _run_bwd(reps, inv_t, m, l, blk, interpret):
     n, d = reps.shape
+    nb = n // blk
     return pl.pallas_call(
         functools.partial(_bwd_kernel, blk=blk),
-        grid=(n // blk,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
         interpret=interpret,
-    )(reps, inv_t, m, l)
+    )(reps, inv_t, m.reshape(nb, blk), l.reshape(nb, blk))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))

@@ -51,6 +51,8 @@ class PretrainConfig:
     data_axis: str = ""             # mesh axis name for DP ('' = single chip)
     steps_per_dispatch: int = 8     # train steps folded into one jitted scan
                                     # (amortizes dispatch overhead; 1 = off)
+    profile_dir: str = ""           # write a jax.profiler trace of the first
+                                    # few dispatches of epoch 0 here
 
 
 @dataclass

@@ -200,6 +200,10 @@ class Pretrainer:
         best_val = float("inf")
         history = []
         s_fold = max(1, cfg.steps_per_dispatch)
+        profiler_active = False
+        if cfg.profile_dir:
+            jax.profiler.start_trace(cfg.profile_dir)
+            profiler_active = True
         for epoch in range(cfg.epochs):
             t0 = time.time()
             losses = []
@@ -213,6 +217,11 @@ class Pretrainer:
             for batch in pending:  # epoch remainder, one step per dispatch
                 self.state, loss = self._train_step(self.state, batch, rng)
                 losses.append(float(loss))
+            if profiler_active:
+                jax.block_until_ready(self.state.params)
+                jax.profiler.stop_trace()
+                profiler_active = False
+                log(f"profiler trace written to {cfg.profile_dir}")
             train_loss = float(np.mean(losses)) if losses else float("nan")
             # throughput accounting (SURVEY §5.1): message edges processed =
             # 2 views x layers x (real directed edges + self-loops) per step

@@ -19,6 +19,8 @@ def main(argv=None) -> int:
     p.add_argument("--aug", choices=["node", "subgraph", "mix"], default=None)
     p.add_argument("--model", choices=["gin", "gcn"], default=None)
     p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--steps-per-dispatch", type=int, default=None,
+                   help="train steps folded into one device dispatch")
     p.add_argument("--synthetic", type=int, default=0, metavar="N",
                    help="generate an N-molecule synthetic corpus if the "
                         "data path is missing")
@@ -48,6 +50,8 @@ def main(argv=None) -> int:
         cfg.model.gnn_type = args.model
     if args.ckpt_dir:
         cfg.ckpt_dir = args.ckpt_dir
+    if args.steps_per_dispatch is not None:
+        cfg.steps_per_dispatch = args.steps_per_dispatch
 
     if args.synthetic and not os.path.exists(cfg.data_path):
         from molclr_tpu.data.synthetic import write_pretrain_corpus

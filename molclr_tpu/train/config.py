@@ -53,6 +53,7 @@ class PretrainConfig:
                                     # (amortizes dispatch overhead; 1 = off)
     profile_dir: str = ""           # write a jax.profiler trace of the first
                                     # few dispatches of epoch 0 here
+    tensorboard: bool = False       # also write TB scalars into ckpt_dir
 
 
 @dataclass
@@ -78,6 +79,7 @@ class FineTuneConfig:
     ckpt_dir: str = "runs/finetune"
     synthetic_n: int = 2000         # rows when auto-generating missing CSVs
     log_every_steps: int = 50
+    tensorboard: bool = False       # also write TB scalars into ckpt_dir
 
 
 def _merge(dc, d: dict):

@@ -303,6 +303,11 @@ class FineTuner:
         if not self._steps_built:
             self._build_steps()
         rng = jax.random.PRNGKey(cfg.seed + 17)
+        from molclr_tpu.train.logging_util import MetricWriter
+
+        run_dir = os.path.join(cfg.ckpt_dir,
+                               f"{cfg.task_name}_{self.target}")
+        writer = MetricWriter(run_dir, tensorboard=cfg.tensorboard)
         direction = METRIC_DIRECTION[self.task.metric]
         best = -np.inf
         # Deep host copy: train_step donates its input state's buffers, and
@@ -333,8 +338,13 @@ class FineTuner:
                       f"valid_{val['name']}": val["metric"],
                       "time_s": round(time.time() - t0, 2)}
             history.append(record)
+            writer.record(record)
+            writer.scalars(epoch, train_loss=record["train_loss"],
+                           **{f"valid_{val['name']}": val["metric"]})
             log(f"[{cfg.task_name}/{self.target}] {record}")
         test = self.evaluate("test", state=best_state)
+        writer.record({"test_" + test["name"]: test["metric"]})
+        writer.close()
         log(f"[{cfg.task_name}/{self.target}] test {test['name']} = "
             f"{test['metric']:.4f}")
         self.best_state = best_state

@@ -195,7 +195,9 @@ class Pretrainer:
         os.makedirs(cfg.ckpt_dir, exist_ok=True)
         with open(os.path.join(cfg.ckpt_dir, "config.json"), "w") as f:
             json.dump(to_dict(cfg), f, indent=2, default=str)
-        metrics_path = os.path.join(cfg.ckpt_dir, "metrics.jsonl")
+        from molclr_tpu.train.logging_util import MetricWriter
+
+        writer = MetricWriter(cfg.ckpt_dir, tensorboard=cfg.tensorboard)
         rng = jax.random.PRNGKey(cfg.seed + 1)
         best_val = float("inf")
         history = []
@@ -251,7 +253,14 @@ class Pretrainer:
                     {"params": self.state.params,
                      "batch_stats": self.state.batch_stats})
             history.append(record)
-            with open(metrics_path, "a") as f:
-                f.write(json.dumps(record) + "\n")
+            writer.record(record)
+            writer.scalars(int(self.state.step),
+                           train_loss=train_loss,
+                           cosine_lr_decay=float(
+                               self.schedule(int(self.state.step))),
+                           validation_loss=record.get("valid_loss",
+                                                      float("nan")),
+                           edges_per_sec=record["edges_per_sec"])
             log(f"epoch {epoch}: {record}")
+        writer.close()
         return history

@@ -182,26 +182,29 @@ def pack_batch(graphs: list[MolGraph], spec: PadSpec) -> GraphBatch:
         edge_mask[sl_e] = True
 
         # ELL: slot 0 self-loop, then in-edges in featurization order.
-        fill = np.ones(n, np.int32)  # next free slot per local node
         nbr[sl_n, 0] = np.arange(node_off, node_off + n, dtype=np.int32)
         nbr_bt[sl_n, 0] = SELF_LOOP_BOND_TYPE
         nbr_bd[sl_n, 0] = 0
         nbr_mask[sl_n, 0] = True
-        for k in range(e):
-            d = int(g.edge_dst[k])
-            s = fill[d]
-            if s >= K:
+        if e:
+            # vectorized slot assignment: stable-sort edges by destination;
+            # within each destination run, the slot is the offset from the
+            # run start (+1 for the self-loop in slot 0)
+            order = np.argsort(g.edge_dst, kind="stable")
+            dst_sorted = g.edge_dst[order]
+            run_start = np.r_[0, np.flatnonzero(np.diff(dst_sorted)) + 1]
+            starts = np.repeat(run_start, np.diff(np.r_[run_start, e]))
+            slots = np.arange(e, dtype=np.int32) - starts + 1
+            if slots.max() >= K:
                 raise PackOverflow(
-                    f"node degree {s} exceeds max_degree {spec.max_degree} "
-                    f"in graph {gi}"
-                )
-            fill[d] = s + 1
-            row = node_off + d
-            nbr[row, s] = node_off + int(g.edge_src[k])
-            nbr_bt[row, s] = int(g.bond_type[k])
-            nbr_bd[row, s] = int(g.bond_dir[k])
-            nbr_bond[row, s] = bond_off + k // 2
-            nbr_mask[row, s] = True
+                    f"node degree {int(slots.max())} exceeds max_degree "
+                    f"{spec.max_degree} in graph {gi}")
+            rows = node_off + dst_sorted
+            nbr[rows, slots] = node_off + g.edge_src[order]
+            nbr_bt[rows, slots] = g.bond_type[order]
+            nbr_bd[rows, slots] = g.bond_dir[order]
+            nbr_bond[rows, slots] = bond_off + order // 2
+            nbr_mask[rows, slots] = True
 
         bond_graph[bond_off : bond_off + e // 2] = gi
         bond_mask[bond_off : bond_off + e // 2] = True

@@ -60,6 +60,25 @@ class TestPretrain:
         history = pre.train(log=lambda *_: None)
         assert history[-1]["train_loss"] < history[0]["train_loss"]
 
+    def test_qm7_normalized_regression(self, tmp_path):
+        """qm7 path: label z-scoring (Normalizer), L1 loss, MAE metric,
+        denormalized predictions (ref finetune.py:136-142,286-287)."""
+        cfg = FineTuneConfig(task_name="qm7", data_root=str(tmp_path),
+                             batch_size=32, epochs=6, model=SMALL,
+                             synthetic_n=300, seed=0,
+                             ckpt_dir=str(tmp_path / "ft"))
+        ft = FineTuner(cfg).setup_data()
+        assert ft.normalizer is not None
+        first = next(iter(ft.iters["train"]))[0]
+        ft.setup_state(first)
+        result = ft.train(log=lambda *_: None)
+        assert result["metric_name"] == "mae"
+        # MAE is in ORIGINAL label units (denormalized); beating the raw
+        # label std proves the normalizer round-trip works
+        raw_std = float(np.std(ft.normalizer.denorm(ft.train_labels)))
+        best_valid = min(h["valid_mae"] for h in result["history"])
+        assert best_valid < raw_std, (best_valid, raw_std)
+
     def test_regression_task(self, tmp_path):
         cfg = FineTuneConfig(task_name="FreeSolv", data_root=str(tmp_path),
                              batch_size=32, epochs=8, model=SMALL,

@@ -92,6 +92,8 @@ def main() -> int:
     def loss_fn(params, batch_stats, rng):
         ra, ri, rj = jax.random.split(rng, 3)
         vi, vj = paired_augment(batch, ra, args.aug)
+        # sequential two-pass over the views: on v5e this keeps the feature
+        # table cache-resident and beats the concatenated single forward
         (_, zi), upd = model.apply(
             {"params": params, "batch_stats": batch_stats}, vi, train=True,
             rngs={"dropout": ri}, mutable=["batch_stats"])

@@ -1,0 +1,88 @@
+"""Batch inference CLI: encode SMILES into embedding vectors.
+
+A serving-path capability the reference lacks: load a pretrained encoder
+(torch .pth or Orbax checkpoint), featurize an input corpus, and write the
+pooled molecular embeddings (feat_lin output, the representation the
+reference returns as `h`) as .npy, with a sidecar .txt of the kept SMILES.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="molclr-embed")
+    p.add_argument("input", help="SMILES file (one per line / CSV last col)")
+    p.add_argument("output", help="output .npy path ([n, feat_dim] fp32)")
+    p.add_argument("--checkpoint", required=True,
+                   help="torch .pth or Orbax checkpoint dir")
+    p.add_argument("--model", choices=["gin", "gcn"], default="gin")
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--projection", action="store_true",
+                   help="emit the contrastive projection z instead of h")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from molclr_tpu.data.graphs import pack_batch
+    from molclr_tpu.data.loader import (
+        featurize_many,
+        read_pretrain_smiles,
+        spec_for_graphs,
+    )
+    from molclr_tpu.models import MolCLRNet
+    from molclr_tpu.train import checkpoints as ckpt_lib
+
+    smiles = read_pretrain_smiles(args.input)
+    graphs, kept = featurize_many(smiles)
+    if not graphs:
+        p.error("no featurizable molecules in input")
+    print(f"{len(graphs)}/{len(smiles)} molecules featurized")
+
+    model = MolCLRNet(gnn_type=args.model)
+    spec = spec_for_graphs(graphs, min(args.batch_size, len(graphs)))
+    example = pack_batch(graphs[: spec.n_graphs], spec)
+    variables = model.init(jax.random.PRNGKey(0), example, train=False)
+    params, stats = variables["params"], variables.get("batch_stats", {})
+    if args.checkpoint.endswith(".pth"):
+        ip, istats = ckpt_lib.import_torch_params(
+            ckpt_lib.load_torch_state_dict(args.checkpoint),
+            gnn_type=args.model)
+    else:
+        restored = ckpt_lib.load_checkpoint(args.checkpoint, None)
+        ip = restored.get("params", restored)
+        istats = restored.get("batch_stats", {})
+    params = ckpt_lib.transfer_params(ip, params)
+    stats = ckpt_lib.transfer_params(istats, stats)
+
+    @jax.jit
+    def encode(batch):
+        h, z = model.apply({"params": params, "batch_stats": stats}, batch,
+                           train=False)
+        return z if args.projection else h
+
+    out = []
+    for lo in range(0, len(graphs), spec.n_graphs):
+        chunk = graphs[lo : lo + spec.n_graphs]
+        emb = np.asarray(encode(pack_batch(chunk, spec)))
+        out.append(emb[: len(chunk)])
+    embeddings = np.concatenate(out).astype(np.float32)
+    np.save(args.output, embeddings)
+    side = os.path.splitext(args.output)[0] + ".smiles.txt"
+    with open(side, "w") as f:
+        for i in kept:
+            f.write(smiles[i] + "\n")
+    print(f"wrote {embeddings.shape} embeddings -> {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -119,6 +119,45 @@ class PackOverflow(ValueError):
     pass
 
 
+def concat_views(a: GraphBatch, b: GraphBatch) -> GraphBatch:
+    """Concatenate two same-shape GraphBatches (e.g. the two contrastive
+    views) into one packed batch — jit-compatible pure array ops.
+
+    This is the standard SimCLR execution shape: both views run through the
+    encoder in ONE forward, so BatchNorm statistics span both views and
+    per-pass fixed costs are paid once. (The reference runs views
+    sequentially, molclr.py:57-60 — a code-structure artifact, not a
+    modeling choice; set pretrain config concat_views=False to reproduce
+    its sequential-BN semantics.)"""
+    import jax.numpy as jnp
+
+    n, e, g = a.num_nodes, a.num_edges, a.num_graphs
+    bmax = a.num_bonds
+    cat = jnp.concatenate
+    return GraphBatch(
+        atom_type=cat([a.atom_type, b.atom_type]),
+        chirality=cat([a.chirality, b.chirality]),
+        node_graph=cat([a.node_graph, b.node_graph + g]),
+        node_mask=cat([a.node_mask, b.node_mask]),
+        src=cat([a.src, b.src + n]),
+        dst=cat([a.dst, b.dst + n]),
+        bond_type=cat([a.bond_type, b.bond_type]),
+        bond_dir=cat([a.bond_dir, b.bond_dir]),
+        edge_bond=cat([a.edge_bond, b.edge_bond + bmax]),
+        edge_mask=cat([a.edge_mask, b.edge_mask]),
+        nbr=cat([a.nbr, b.nbr + n]),
+        nbr_bond_type=cat([a.nbr_bond_type, b.nbr_bond_type]),
+        nbr_bond_dir=cat([a.nbr_bond_dir, b.nbr_bond_dir]),
+        nbr_bond=cat([a.nbr_bond, b.nbr_bond + bmax]),
+        nbr_mask=cat([a.nbr_mask, b.nbr_mask]),
+        bond_graph=cat([a.bond_graph, b.bond_graph + g]),
+        bond_mask=cat([a.bond_mask, b.bond_mask]),
+        graph_mask=cat([a.graph_mask, b.graph_mask]),
+        graph_n_nodes=cat([a.graph_n_nodes, b.graph_n_nodes]),
+        graph_n_bonds=cat([a.graph_n_bonds, b.graph_n_bonds]),
+    )
+
+
 def pack_batch(graphs: list[MolGraph], spec: PadSpec) -> GraphBatch:
     """Pack molecules into one padded GraphBatch.
 

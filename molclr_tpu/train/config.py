@@ -54,6 +54,11 @@ class PretrainConfig:
     profile_dir: str = ""           # write a jax.profiler trace of the first
                                     # few dispatches of epoch 0 here
     tensorboard: bool = False       # also write TB scalars into ckpt_dir
+    concat_views: bool = False      # True: both views in ONE forward
+                                    # (SimCLR-style, joint BN stats). On
+                                    # v5e the doubled working set loses
+                                    # cache residency and is ~25% slower,
+                                    # so sequential is the default.
 
 
 @dataclass

@@ -112,14 +112,25 @@ class Pretrainer:
         def loss_fn(params, batch_stats, batch, rng):
             rng_aug, rng_di, rng_dj = jax.random.split(rng, 3)
             vi, vj = paired_augment(batch, rng_aug, cfg.aug)
-            (_, zi), upd = model.apply(
-                {"params": params, "batch_stats": batch_stats}, vi,
-                train=True, rngs={"dropout": rng_di},
-                mutable=["batch_stats"])
-            (_, zj), upd = model.apply(
-                {"params": params, "batch_stats": upd["batch_stats"]}, vj,
-                train=True, rngs={"dropout": rng_dj},
-                mutable=["batch_stats"])
+            if cfg.concat_views:
+                from molclr_tpu.data.graphs import concat_views
+
+                both = concat_views(vi, vj)
+                (_, z), upd = model.apply(
+                    {"params": params, "batch_stats": batch_stats}, both,
+                    train=True, rngs={"dropout": rng_di},
+                    mutable=["batch_stats"])
+                g = batch.num_graphs
+                zi, zj = z[:g], z[g:]
+            else:
+                (_, zi), upd = model.apply(
+                    {"params": params, "batch_stats": batch_stats}, vi,
+                    train=True, rngs={"dropout": rng_di},
+                    mutable=["batch_stats"])
+                (_, zj), upd = model.apply(
+                    {"params": params, "batch_stats": upd["batch_stats"]},
+                    vj, train=True, rngs={"dropout": rng_dj},
+                    mutable=["batch_stats"])
             loss = nt_xent_loss(zi.astype(jnp.float32),
                                 zj.astype(jnp.float32),
                                 cfg.temperature, cfg.use_cosine_similarity,

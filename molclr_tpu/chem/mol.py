@@ -119,23 +119,6 @@ class Mol:
         return None
 
     # ---- valence / hydrogens ----
-    def bond_order_sum(self, idx: int) -> float:
-        """Sum of bond orders at an atom, with the OpenSMILES aromatic
-        convention: aromatic bonds count 1 each plus a single extra unit for
-        membership in the delocalized system."""
-        total = 0.0
-        n_arom = 0
-        for b in self.bonds:
-            if idx in (b.a1, b.a2):
-                if b.bond_type == BondType.AROMATIC:
-                    total += 1.0
-                    n_arom += 1
-                else:
-                    total += b.bond_type.order
-        if n_arom > 0:
-            total += 1.0
-        return total
-
     def implicit_hs(self, idx: int) -> int:
         """Implicit hydrogen count under the normal-valence model.
 

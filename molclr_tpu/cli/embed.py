@@ -19,6 +19,9 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint", required=True,
                    help="torch .pth or Orbax checkpoint dir")
     p.add_argument("--model", choices=["gin", "gcn"], default="gin")
+    p.add_argument("--layers", type=int, default=5)
+    p.add_argument("--emb-dim", type=int, default=300)
+    p.add_argument("--feat-dim", type=int, default=512)
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--projection", action="store_true",
                    help="emit the contrastive projection z instead of h")
@@ -47,7 +50,8 @@ def main(argv=None) -> int:
         p.error("no featurizable molecules in input")
     print(f"{len(graphs)}/{len(smiles)} molecules featurized")
 
-    model = MolCLRNet(gnn_type=args.model)
+    model = MolCLRNet(gnn_type=args.model, num_layers=args.layers,
+                      emb_dim=args.emb_dim, feat_dim=args.feat_dim)
     spec = spec_for_graphs(graphs, min(args.batch_size, len(graphs)))
     example = pack_batch(graphs[: spec.n_graphs], spec)
     variables = model.init(jax.random.PRNGKey(0), example, train=False)
@@ -60,8 +64,22 @@ def main(argv=None) -> int:
         restored = ckpt_lib.load_checkpoint(args.checkpoint, None)
         ip = restored.get("params", restored)
         istats = restored.get("batch_stats", {})
-    params = ckpt_lib.transfer_params(ip, params)
+    tstats: dict = {}
+    params = ckpt_lib.transfer_params(ip, params, stats=tstats)
     stats = ckpt_lib.transfer_params(istats, stats)
+    print(f"transferred {tstats['copied']} param leaves "
+          f"({len(tstats['skipped'])} skipped)")
+    if tstats["copied"] == 0:
+        p.error(
+            "checkpoint transferred ZERO parameters — architecture "
+            "mismatch? Pass --layers/--emb-dim/--feat-dim matching the "
+            f"checkpoint. First skipped paths: {tstats['skipped'][:4]}")
+    if tstats["skipped"]:
+        import sys
+
+        print(f"WARNING: {len(tstats['skipped'])} leaves skipped (shape "
+              f"mismatch?) e.g. {tstats['skipped'][:3]} — embeddings may "
+              f"come from partially random weights", file=sys.stderr)
 
     @jax.jit
     def encode(batch):

@@ -131,8 +131,11 @@ def _subgraph_removal(batch, rng_s, rng_t, k_sub, max_waves: int,
                                 batch.graph_n_nodes)
     start_flag = batch.node_mask & (start_rank == start_rank_slot)
     t = _bfs_times(batch, start_flag, max_waves)
-    # wave-ordered removal with random tie-break inside the final wave
-    key = jnp.clip(t, 0, _INF_TIME) * (1 << 20) + _rand_keys(
+    # wave-ordered removal with random tie-break inside the final wave.
+    # t is clipped to max_waves+1 before scaling: unreached nodes
+    # (t=_INF_TIME) would otherwise overflow int32 and sort FIRST,
+    # silently disabling removal on disconnected molecules (salts).
+    key = jnp.minimum(t, max_waves + 1) * (1 << 20) + _rand_keys(
         rng_t, batch.num_nodes)
     rank = _segment_ranks(key, batch.node_graph, batch.node_mask,
                           batch.graph_n_nodes)

@@ -56,13 +56,6 @@ class PadSpec:
     def ell_slots(self) -> int:
         return self.max_degree + 1
 
-    @staticmethod
-    def for_molecules(n_graphs: int, avg_nodes: int = 32, avg_degree: float = 2.2,
-                      max_degree: int = 6, slack: float = 1.0) -> "PadSpec":
-        n_nodes = int(n_graphs * avg_nodes * slack)
-        n_edges = 2 * int(n_nodes * avg_degree / 2 + n_graphs)
-        return PadSpec(n_graphs, n_nodes, n_edges, max_degree)
-
 
 @struct.dataclass
 class GraphBatch:
@@ -134,6 +127,13 @@ def concat_views(a: GraphBatch, b: GraphBatch) -> GraphBatch:
     n, e, g = a.num_nodes, a.num_edges, a.num_graphs
     bmax = a.num_bonds
     cat = jnp.concatenate
+
+    def shift_bond(x, off):
+        # preserve the sentinel-bond-id invariant: sentinel (== per-view
+        # n_bonds) must map to the CONCATENATED sentinel 2*bmax, never to a
+        # real bond of the other view
+        return jnp.where(x == bmax, 2 * bmax, x + off)
+
     return GraphBatch(
         atom_type=cat([a.atom_type, b.atom_type]),
         chirality=cat([a.chirality, b.chirality]),
@@ -143,12 +143,14 @@ def concat_views(a: GraphBatch, b: GraphBatch) -> GraphBatch:
         dst=cat([a.dst, b.dst + n]),
         bond_type=cat([a.bond_type, b.bond_type]),
         bond_dir=cat([a.bond_dir, b.bond_dir]),
-        edge_bond=cat([a.edge_bond, b.edge_bond + bmax]),
+        edge_bond=cat([shift_bond(a.edge_bond, 0),
+                       shift_bond(b.edge_bond, bmax)]),
         edge_mask=cat([a.edge_mask, b.edge_mask]),
         nbr=cat([a.nbr, b.nbr + n]),
         nbr_bond_type=cat([a.nbr_bond_type, b.nbr_bond_type]),
         nbr_bond_dir=cat([a.nbr_bond_dir, b.nbr_bond_dir]),
-        nbr_bond=cat([a.nbr_bond, b.nbr_bond + bmax]),
+        nbr_bond=cat([shift_bond(a.nbr_bond, 0),
+                      shift_bond(b.nbr_bond, bmax)]),
         nbr_mask=cat([a.nbr_mask, b.nbr_mask]),
         bond_graph=cat([a.bond_graph, b.bond_graph + g]),
         bond_mask=cat([a.bond_mask, b.bond_mask]),

@@ -111,9 +111,13 @@ def featurize_corpus_native(smiles_list: list[str], add_hs: bool = False):
         return None
     buf = ("\n".join(smiles_list) + "\n").encode()
     n_mols = len(smiles_list)
-    # conservative capacity: average 128 atoms / 256 directed edges per mol
-    acap = max(1 << 16, 128 * n_mols)
-    ecap = max(1 << 17, 320 * n_mols)
+    # Capacity scales with input size: one SMILES character >= one heavy
+    # atom, AddHs at most ~3x atoms + the per-call MAX_ATOMS/MAX_BONDS
+    # headroom the C++ side requires before each molecule. Undersizing is
+    # detected below and retried, not silently dropped.
+    per_mol = 4 if not add_hs else 8
+    acap = max(1 << 16, per_mol * len(buf) + MAX_ATOMS)
+    ecap = max(1 << 17, 2 * per_mol * len(buf) + 2 * MAX_BONDS)
     at = np.empty(acap, np.int32)
     ch = np.empty(acap, np.int32)
     es = np.empty(ecap, np.int32)
@@ -134,6 +138,19 @@ def featurize_corpus_native(smiles_list: list[str], add_hs: bool = False):
         buf, len(buf), int(add_hs), p32(at), p32(ch), p32(es), p32(ed),
         p32(bt), p32(bd), p64(aoff), p64(eoff), p32(ok),
         acap, ecap, n_mols)
+    if (acap - aoff[n_mols] < MAX_ATOMS
+            or ecap - eoff[n_mols] < 2 * MAX_BONDS):
+        # possible capacity-exhaustion truncation (would be reported as
+        # parse failures): fall back to the per-molecule API for full fidelity
+        from molclr_tpu.data.featurize import MolGraph  # noqa: F401
+
+        graphs, kept = [], []
+        for i, s in enumerate(smiles_list):
+            g = featurize_smiles_native(s, add_hs=add_hs)
+            if g is not None:
+                graphs.append(g)
+                kept.append(i)
+        return graphs, kept
 
     graphs, kept = [], []
     for i in range(n_mols):

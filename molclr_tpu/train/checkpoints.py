@@ -116,22 +116,37 @@ def import_torch_params(
     return params, stats
 
 
-def transfer_params(src: dict, dst: dict) -> dict:
+def transfer_params(src: dict, dst: dict, stats: dict | None = None) -> dict:
     """Copy leaves of `src` into a copy of `dst` where path and shape match
-    (ref models/ginet_finetune.py:149-157 load_my_state_dict)."""
-    out = jax.tree_util.tree_map(lambda x: x, dst)  # deep-ish copy
+    (ref models/ginet_finetune.py:149-157 load_my_state_dict).
 
-    def walk(s: dict, d: dict) -> None:
+    Pass a dict as `stats` to receive {"copied": n, "skipped": [paths]} —
+    shape-mismatched or missing leaves are skipped silently otherwise, which
+    can mean loading a checkpoint into the wrong architecture."""
+    out = jax.tree_util.tree_map(lambda x: x, dst)  # deep-ish copy
+    copied = 0
+    skipped: list[str] = []
+
+    def walk(s: dict, d: dict, prefix: str) -> None:
+        nonlocal copied
         for k, v in s.items():
+            path = f"{prefix}/{k}" if prefix else str(k)
             if k not in d:
+                skipped.append(path)
                 continue
             if isinstance(v, dict) and isinstance(d[k], dict):
-                walk(v, d[k])
+                walk(v, d[k], path)
             elif not isinstance(v, dict) and not isinstance(d[k], dict):
                 if tuple(np.shape(v)) == tuple(np.shape(d[k])):
                     d[k] = np.asarray(v).astype(np.asarray(d[k]).dtype)
+                    copied += 1
+                else:
+                    skipped.append(path)
 
-    walk(src, out)
+    walk(src, out, "")
+    if stats is not None:
+        stats["copied"] = copied
+        stats["skipped"] = skipped
     return out
 
 

@@ -172,12 +172,39 @@ class Pretrainer:
                                 cfg.temperature, cfg.use_cosine_similarity,
                                 pair_mask=batch.graph_mask)
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0,))
-        self._multi_step = jax.jit(multi_step, donate_argnums=(0,))
+        if cfg.data_axis:
+            # data-parallel: the per-device step runs under shard_map with
+            # psum/all_gather bound to the mesh axis (plain jit would hit
+            # unbound axis names)
+            from molclr_tpu.parallel import (
+                build_dp_pretrain_step,
+                make_mesh,
+            )
+
+            self.mesh = make_mesh(axis=cfg.data_axis)
+            self._dp_step = build_dp_pretrain_step(
+                model, self.tx, self.mesh, aug=cfg.aug,
+                temperature=cfg.temperature,
+                use_cosine=cfg.use_cosine_similarity, axis=cfg.data_axis)
+            self._train_step = None
+            self._multi_step = None
+        else:
+            self._train_step = jax.jit(train_step, donate_argnums=(0,))
+            self._multi_step = jax.jit(multi_step, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
 
     # ---- loops ----
     def _dispatch(self, batches, rng, log, epoch, cfg):
+        if cfg.data_axis:
+            from molclr_tpu.parallel import stack_batches
+
+            n_dev = self.mesh.shape[cfg.data_axis]
+            losses = []
+            for lo in range(0, len(batches) - n_dev + 1, n_dev):
+                stacked = stack_batches(batches[lo : lo + n_dev])
+                self.state, loss = self._dp_step(self.state, stacked, rng)
+                losses.append(float(loss))
+            return losses
         if len(batches) == 1:
             self.state, loss = self._train_step(self.state, batches[0], rng)
             losses = [float(loss)]
@@ -227,9 +254,15 @@ class Pretrainer:
                     continue
                 losses.extend(self._dispatch(pending, rng, log, epoch, cfg))
                 pending = []
-            for batch in pending:  # epoch remainder, one step per dispatch
-                self.state, loss = self._train_step(self.state, batch, rng)
-                losses.append(float(loss))
+            if cfg.data_axis:
+                # remainder smaller than one device-group is dropped
+                # (drop_last at superbatch granularity)
+                losses.extend(self._dispatch(pending, rng, log, epoch, cfg))
+            else:
+                for batch in pending:  # epoch remainder, one per dispatch
+                    self.state, loss = self._train_step(self.state, batch,
+                                                        rng)
+                    losses.append(float(loss))
             if profiler_active:
                 jax.block_until_ready(self.state.params)
                 jax.profiler.stop_trace()

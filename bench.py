@@ -43,6 +43,9 @@ def main() -> int:
     p.add_argument("--k2", type=int, default=40)
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--tile", type=int, default=256,
+                   help="tile-dense aggregation (block-diagonal MXU "
+                        "matmuls) with this tile size; 0 = ELL gathers")
     args = p.parse_args()
 
     import jax
@@ -71,7 +74,7 @@ def main() -> int:
     smiles = synthetic_corpus(b, seed=7)
     graphs = [g for g in (featurize_smiles(s) for s in smiles)
               if g is not None and g.max_degree <= 6][:b]
-    spec = spec_for_graphs(graphs, len(graphs), slack=1.05)
+    spec = spec_for_graphs(graphs, len(graphs), slack=1.05, tile=args.tile)
     batch = jax.device_put(pack_batch(graphs, spec))
     n_nodes = int(np.asarray(batch.node_mask).sum())
     n_edges = int(np.asarray(batch.edge_mask).sum())
@@ -81,7 +84,8 @@ def main() -> int:
 
     model = MolCLRNet(
         num_layers=args.layers, emb_dim=args.emb_dim, gnn_type="gin",
-        dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32)
+        dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
+        tile=args.tile)
     variables = jax.device_put(
         model.init(jax.random.PRNGKey(0), batch, train=False))
     tx = adam_torch(5e-4, 1e-5)

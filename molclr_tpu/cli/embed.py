@@ -23,6 +23,8 @@ def main(argv=None) -> int:
     p.add_argument("--emb-dim", type=int, default=300)
     p.add_argument("--feat-dim", type=int, default=512)
     p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--tile", type=int, default=256,
+                   help="tile-dense aggregation tile size (0 = ELL gathers)")
     p.add_argument("--projection", action="store_true",
                    help="emit the contrastive projection z instead of h")
     p.add_argument("--cpu", action="store_true")
@@ -51,8 +53,10 @@ def main(argv=None) -> int:
     print(f"{len(graphs)}/{len(smiles)} molecules featurized")
 
     model = MolCLRNet(gnn_type=args.model, num_layers=args.layers,
-                      emb_dim=args.emb_dim, feat_dim=args.feat_dim)
-    spec = spec_for_graphs(graphs, min(args.batch_size, len(graphs)))
+                      emb_dim=args.emb_dim, feat_dim=args.feat_dim,
+                      tile=args.tile)
+    spec = spec_for_graphs(graphs, min(args.batch_size, len(graphs)),
+                           tile=args.tile)
     example = pack_batch(graphs[: spec.n_graphs], spec)
     variables = model.init(jax.random.PRNGKey(0), example, train=False)
     params, stats = variables["params"], variables.get("batch_stats", {})

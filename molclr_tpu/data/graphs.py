@@ -41,12 +41,26 @@ from molclr_tpu.data.featurize import MolGraph, SELF_LOOP_BOND_TYPE
 
 @dataclass(frozen=True)
 class PadSpec:
-    """Static bucket shape. K = max_degree + 1 ELL slots (slot 0 = self)."""
+    """Static bucket shape. K = max_degree + 1 ELL slots (slot 0 = self).
+
+    tile > 0 requests TILE-ALIGNED packing: no molecule crosses a
+    `tile`-node boundary (n_nodes must then be a multiple of tile). This is
+    the precondition of the tile-dense aggregation path (ops/tile_dense.py),
+    which turns neighborhood aggregation into block-diagonal [T, tile, tile]
+    adjacency matmuls on the MXU instead of HBM row-gathers."""
 
     n_graphs: int
     n_nodes: int
     n_edges: int       # directed edge capacity (2x bond capacity)
     max_degree: int = 6
+    tile: int = 0
+
+    def __post_init__(self):
+        if self.tile:
+            if self.n_nodes % self.tile:
+                raise ValueError(
+                    f"n_nodes {self.n_nodes} not a multiple of tile "
+                    f"{self.tile}")
 
     @property
     def n_bonds(self) -> int:
@@ -208,6 +222,17 @@ def pack_batch(graphs: list[MolGraph], spec: PadSpec) -> GraphBatch:
     bond_off = 0
     for gi, g in enumerate(graphs):
         n, e = g.n_atoms, g.edge_src.shape[0]
+        if spec.tile:
+            if n > spec.tile:
+                raise PackOverflow(
+                    f"molecule with {n} atoms exceeds tile {spec.tile}")
+            used = node_off % spec.tile
+            if used and used + n > spec.tile:
+                node_off += spec.tile - used    # skip to next tile boundary
+            if node_off + n > N:
+                raise PackOverflow(
+                    f"tile-aligned packing overflows {N} node slots at "
+                    f"graph {gi}")
         sl_n = slice(node_off, node_off + n)
         atom_type[sl_n] = g.atom_type
         chirality[sl_n] = g.chirality

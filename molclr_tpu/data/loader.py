@@ -96,7 +96,7 @@ def featurize_many(smiles: list[str], add_hs: bool = False,
 
 def spec_for_graphs(graphs: list[MolGraph], batch_size: int,
                     max_degree: int = 6, slack: float = 1.1,
-                    quantile: float = 1.0) -> PadSpec:
+                    quantile: float = 1.0, tile: int = 0) -> PadSpec:
     """A PadSpec that fits `batch_size` molecules drawn from this corpus.
     quantile < 1 trades coverage for padding efficiency; oversized batches
     fall back to dropping molecules at pack time.
@@ -104,7 +104,12 @@ def spec_for_graphs(graphs: list[MolGraph], batch_size: int,
     max_degree acts as a CAP: the spec uses the corpus's actual maximum
     degree when smaller, shrinking the ELL slot count K (every slot costs a
     full [N, D] gather in fwd and bwd — organic corpora usually need K=5,
-    not 7)."""
+    not 7).
+
+    tile > 0 requests tile-aligned packing (see PadSpec): node capacity is
+    rounded up to a tile multiple with extra headroom for boundary
+    fragmentation (worst-case waste per tile is max_atoms-1 slots; the
+    average first-fit waste on molecular corpora is ~half a molecule)."""
     data_max_deg = max((g.max_degree for g in graphs), default=max_degree)
     max_degree = min(max_degree, max(1, data_max_deg))
     atoms = np.array([g.n_atoms for g in graphs])
@@ -116,6 +121,14 @@ def spec_for_graphs(graphs: list[MolGraph], batch_size: int,
         e = np.quantile(edges, quantile)
     n_nodes = int(np.ceil(batch_size * float(a) * slack))
     n_edges = int(np.ceil(batch_size * float(e) * slack / 2) * 2)
+    if tile:
+        # fragmentation headroom: ~ mean molecule size per tile boundary
+        mean_atoms = float(atoms.mean()) if len(atoms) else 1.0
+        est_tiles = max(1, -(-n_nodes // tile))
+        n_nodes += int(np.ceil(est_tiles * mean_atoms * 0.75))
+        n_nodes = -(-max(n_nodes, 8) // tile) * tile
+        return PadSpec(batch_size, n_nodes, max(n_edges, 8), max_degree,
+                       tile)
     return PadSpec(batch_size, max(n_nodes, 8), max(n_edges, 8), max_degree)
 
 

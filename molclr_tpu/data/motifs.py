@@ -75,7 +75,7 @@ def build_motif_vocab(smiles_list: list[str],
 
 def encode_motif_vocab(vocab: MotifVocab, model, variables,
                        feat_dim: int, batch_size: int = 64,
-                       max_degree: int = 6) -> np.ndarray:
+                       max_degree: int = 6, tile: int = 0) -> np.ndarray:
     """Encode every vocabulary fragment with the plain encoder; rows for
     unparseable fragments stay zero (ref finetune.py:144-156 encodes clique
     graphs with the plain fine-tune GINet and stacks h)."""
@@ -95,7 +95,8 @@ def encode_motif_vocab(vocab: MotifVocab, model, variables,
     if not graphs:
         return out
     spec = spec_for_graphs(graphs, min(batch_size, len(graphs)),
-                           max_degree=max_degree)
+                           max_degree=max_degree,
+                           tile=getattr(model, "tile", 0) or tile)
 
     @jax.jit
     def encode(batch):

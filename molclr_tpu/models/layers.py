@@ -30,6 +30,7 @@ from molclr_tpu.data.featurize import (
     NUM_BOND_TYPES,
 )
 from molclr_tpu.ops.scatter_free import gcn_aggregate, gine_aggregate
+from molclr_tpu.ops.tile_dense import gcn_tile_aggregate, gine_tile_aggregate
 
 
 def xavier_uniform_embed(key, shape, dtype=jnp.float32):
@@ -124,15 +125,22 @@ class GINEConv(nn.Module):
     emb_dim: int
 
     @nn.compact
-    def __call__(self, h, batch, aug_nbr_mask=None):
+    def __call__(self, h, batch, aug_nbr_mask=None, adj=None):
         e1 = self.param("edge_embedding1", xavier_uniform_embed,
                         (NUM_BOND_TYPES, self.emb_dim))
         e2 = self.param("edge_embedding2", xavier_uniform_embed,
                         (NUM_BOND_DIRS, self.emb_dim))
         nbr_mask = batch.nbr_mask if aug_nbr_mask is None else aug_nbr_mask
-        agg = gine_aggregate(h, e1.astype(h.dtype), e2.astype(h.dtype),
-                             batch.nbr, batch.nbr_bond_type,
-                             batch.nbr_bond_dir, nbr_mask)
+        if adj is not None:
+            # tile-dense path: block-diagonal adjacency matmul on the MXU
+            # (A precomputed once per view by the trunk, ops/tile_dense.py)
+            agg = gine_tile_aggregate(
+                h, e1.astype(h.dtype), e2.astype(h.dtype), adj,
+                batch.nbr_bond_type, batch.nbr_bond_dir, nbr_mask)
+        else:
+            agg = gine_aggregate(h, e1.astype(h.dtype), e2.astype(h.dtype),
+                                 batch.nbr, batch.nbr_bond_type,
+                                 batch.nbr_bond_dir, nbr_mask)
         d = self.emb_dim
         out = dense(2 * d, name="mlp_0", in_features=d)(agg)
         out = nn.relu(out)
@@ -151,7 +159,7 @@ class GCNConv(nn.Module):
     normalize: bool = False
 
     @nn.compact
-    def __call__(self, h, batch, aug_nbr_mask=None):
+    def __call__(self, h, batch, aug_nbr_mask=None, adj=None):
         d = self.emb_dim
         e1 = self.param("edge_embedding1", xavier_uniform_embed,
                         (NUM_BOND_TYPES, 1))
@@ -176,7 +184,21 @@ class GCNConv(nn.Module):
             # dis[n] * dis[j] is symmetric in (n, j), so the scatter-free
             # adjoint of gcn_aggregate stays valid
             norm = jnp.take(dis, batch.nbr, axis=0) * dis[:, None]  # [N,K]
-        out = gcn_aggregate(x, e1.astype(h.dtype), e2.astype(h.dtype),
-                            batch.nbr, batch.nbr_bond_type,
-                            batch.nbr_bond_dir, nbr_mask, norm)
+        if adj is not None:
+            # tile-dense path; when normalizing, the trunk scales adj by
+            # dis_i * dis_j (symmetric), so only the scalar edge counts need
+            # norm here
+            if self.normalize:
+                tile = adj.shape[-1]
+                dis_b = dis.reshape(-1, tile)
+                adj = adj * jax.lax.stop_gradient(
+                    dis_b[:, :, None] * dis_b[:, None, :]).astype(adj.dtype)
+            out = gcn_tile_aggregate(x, e1.astype(h.dtype),
+                                     e2.astype(h.dtype), adj,
+                                     batch.nbr_bond_type,
+                                     batch.nbr_bond_dir, nbr_mask, norm)
+        else:
+            out = gcn_aggregate(x, e1.astype(h.dtype), e2.astype(h.dtype),
+                                batch.nbr, batch.nbr_bond_type,
+                                batch.nbr_bond_dir, nbr_mask, norm)
         return out + bias.astype(h.dtype)

@@ -29,10 +29,16 @@ from molclr_tpu.models.layers import (
 )
 from molclr_tpu.ops.scatter_free import embed_lookup
 from molclr_tpu.ops.segment import graph_pool
+from molclr_tpu.ops.tile_dense import build_tile_adjacency
 
 
 class GNNTrunk(nn.Module):
-    """Shared encoder trunk producing node embeddings [N, emb_dim]."""
+    """Shared encoder trunk producing node embeddings [N, emb_dim].
+
+    tile > 0 selects the tile-dense aggregation path (ops/tile_dense.py):
+    the block-diagonal adjacency is built ONCE here from the (augmented)
+    masked ELL view and shared by every conv layer and by the backward pass.
+    Requires the batch to be packed with PadSpec(tile=tile)."""
 
     num_layers: int = 5
     emb_dim: int = 300
@@ -41,6 +47,7 @@ class GNNTrunk(nn.Module):
     bn_axis_name: str | None = None
     normalize_gcn: bool = False     # True fixes quirk Q2
     dtype: jnp.dtype = jnp.float32
+    tile: int = 0
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -52,12 +59,18 @@ class GNNTrunk(nn.Module):
              + embed_lookup(emb2, batch.chirality)).astype(self.dtype)
         h = jnp.where(batch.node_mask[:, None], h, 0)
 
+        adj = None
+        if self.tile:
+            adj = build_tile_adjacency(batch.nbr, batch.nbr_mask, self.tile,
+                                       dtype=self.dtype)
+
         for layer in range(self.num_layers):
             if self.gnn_type == "gin":
-                h = GINEConv(self.emb_dim, name=f"conv_{layer}")(h, batch)
+                h = GINEConv(self.emb_dim, name=f"conv_{layer}")(
+                    h, batch, adj=adj)
             elif self.gnn_type == "gcn":
                 h = GCNConv(self.emb_dim, normalize=self.normalize_gcn,
-                            name=f"conv_{layer}")(h, batch)
+                            name=f"conv_{layer}")(h, batch, adj=adj)
             else:
                 raise ValueError(f"unknown gnn_type {self.gnn_type!r}")
             h = MaskedBatchNorm(axis_name=self.bn_axis_name,
@@ -80,12 +93,13 @@ class MolCLRNet(nn.Module):
     bn_axis_name: str | None = None
     normalize_gcn: bool = False
     dtype: jnp.dtype = jnp.float32
+    tile: int = 0
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
         h = GNNTrunk(self.num_layers, self.emb_dim, self.gnn_type,
                      self.drop_ratio, self.bn_axis_name, self.normalize_gcn,
-                     self.dtype, name="trunk")(batch, train)
+                     self.dtype, tile=self.tile, name="trunk")(batch, train)
         hg = graph_pool(h, batch.node_graph, batch.node_mask,
                         batch.num_graphs, batch.graph_n_nodes, self.pool)
         hg = dense(self.feat_dim, name="feat_lin",
@@ -125,12 +139,13 @@ class FineTuneNet(nn.Module):
     bn_axis_name: str | None = None
     normalize_gcn: bool = False
     dtype: jnp.dtype = jnp.float32
+    tile: int = 0
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
         h = GNNTrunk(self.num_layers, self.emb_dim, self.gnn_type,
                      self.drop_ratio, self.bn_axis_name, self.normalize_gcn,
-                     self.dtype, name="trunk")(batch, train)
+                     self.dtype, tile=self.tile, name="trunk")(batch, train)
         hg = graph_pool(h, batch.node_graph, batch.node_mask,
                         batch.num_graphs, batch.graph_n_nodes, self.pool)
         hg = dense(self.feat_dim, name="feat_lin",
@@ -161,12 +176,13 @@ class LinkFineTuneNet(nn.Module):
     bn_axis_name: str | None = None
     normalize_gcn: bool = False
     dtype: jnp.dtype = jnp.float32
+    tile: int = 0
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
         h = GNNTrunk(self.num_layers, self.emb_dim, self.gnn_type,
                      self.drop_ratio, self.bn_axis_name, self.normalize_gcn,
-                     self.dtype, name="trunk")(batch, train)
+                     self.dtype, tile=self.tile, name="trunk")(batch, train)
         hg = graph_pool(h, batch.node_graph, batch.node_mask,
                         batch.num_graphs, batch.graph_n_nodes, self.pool)
         hg = dense(self.feat_dim, name="feat_lin",
@@ -220,12 +236,13 @@ class MotifFineTuneNet(nn.Module):
     bn_axis_name: str | None = None
     normalize_gcn: bool = False
     dtype: jnp.dtype = jnp.float32
+    tile: int = 0
 
     @nn.compact
     def __call__(self, batch, motif_ids, motif_mask, train: bool = False):
         h = GNNTrunk(self.num_layers, self.emb_dim, self.gnn_type,
                      self.drop_ratio, self.bn_axis_name, self.normalize_gcn,
-                     self.dtype, name="trunk")(batch, train)
+                     self.dtype, tile=self.tile, name="trunk")(batch, train)
         hg = graph_pool(h, batch.node_graph, batch.node_mask,
                         batch.num_graphs, batch.graph_n_nodes, self.pool)
         hg = dense(self.feat_dim, name="feat_lin",

@@ -74,7 +74,7 @@ class FineTuner:
             feat_dim=m.feat_dim, gnn_type=m.gnn_type, pool=m.pool,
             drop_ratio=m.drop_ratio, pred_n_layer=m.pred_n_layer,
             pred_act=m.pred_act, normalize_gcn=m.normalize_gcn,
-            dtype=jnp.bfloat16 if m.bf16 else jnp.float32)
+            dtype=jnp.bfloat16 if m.bf16 else jnp.float32, tile=m.tile)
 
     # ---- data ----
     def setup_data(self):
@@ -110,7 +110,8 @@ class FineTuner:
             self.motif_vocab = build_motif_vocab(
                 smiles, max_motifs_per_mol=cfg.max_motifs_per_mol)
 
-        self.spec = spec_for_graphs(graphs, cfg.batch_size, cfg.max_degree)
+        self.spec = spec_for_graphs(graphs, cfg.batch_size, cfg.max_degree,
+                                    tile=cfg.model.tile)
         lab = labels.astype(np.float32)
         self.iters = {}
         self.split_motifs = {}
@@ -192,7 +193,7 @@ class FineTuner:
             self.motif_vocab, plain,
             {"params": merged, "batch_stats": merged_stats},
             feat_dim=self.cfg.model.feat_dim,
-            max_degree=self.cfg.max_degree)
+            max_degree=self.cfg.max_degree, tile=self.cfg.model.tile)
         return table
 
     def _warm_start(self, params, stats):

@@ -44,7 +44,8 @@ class Pretrainer:
             gnn_type=m.gnn_type, pool=m.pool, drop_ratio=m.drop_ratio,
             normalize_gcn=m.normalize_gcn,
             bn_axis_name=cfg.data_axis or None,
-            dtype=jnp.bfloat16 if m.bf16 else jnp.float32)
+            dtype=jnp.bfloat16 if m.bf16 else jnp.float32,
+            tile=m.tile)
         self._train_step = None
         self._eval_step = None
 
@@ -61,7 +62,8 @@ class Pretrainer:
         n_valid = int(len(graphs) * cfg.valid_size)
         valid_ids, train_ids = order[:n_valid], order[n_valid:]
         self.spec = spec_for_graphs(graphs, cfg.batch_size, cfg.max_degree,
-                                    cfg.pad_slack, cfg.pad_quantile)
+                                    cfg.pad_slack, cfg.pad_quantile,
+                                    tile=cfg.model.tile)
         self.train_iter = BatchIterator(
             [graphs[i] for i in train_ids], self.spec, shuffle=True,
             drop_last=True, seed=cfg.seed)

@@ -1,0 +1,166 @@
+"""Hückel aromaticity perception over SSSR rings.
+
+Clean-room equivalent of the aromatization step inside RDKit's
+MolFromSmiles sanitization, which the reference relies on implicitly: RDKit
+reports AROMATIC bond types and aromatic atom flags for rings *however the
+input SMILES is spelled* (Kekulé `C1=CC=CC=C1` or aromatic `c1ccccc1`), and
+the reference featurizer consumes those perceived types
+(dataset/dataset.py:33-38,93-109). Without this pass, Kekulé-written inputs
+featurize with alternating SINGLE/DOUBLE ring bonds, canonical SMILES of
+alternate spellings diverge, and scaffold/motif keys split.
+
+Model (classic Hückel, the common subset of RDKit's default model):
+a ring is aromatic iff every ring atom is sp2-capable and the ring's pi
+electrons total 4n+2. Per-atom contributions (evaluated on the original
+Kekulé bonds):
+
+  atom with a DOUBLE bond in the ring .................... 1
+  atom with a DOUBLE bond to another ring's atom ......... 1  (fused Kekulé)
+  C with an exocyclic DOUBLE bond to acyclic O/N/S ....... 0  (carbonyl:
+        2-pyridone / caffeine rings are aromatic, as in RDKit)
+  C with an exocyclic DOUBLE bond to acyclic C ........... not aromatic
+        (fulvene), matching RDKit
+  N/P with three sigma bonds (incl. H), no double bond ... 2  (pyrrole)
+  O/S/Se/Te in ring ...................................... 2  (furan)
+  C- / C+ without double bond ............................ 2 / 0
+  B without double bond .................................. 0
+  anything else (sp3 C, cumulated doubles, triples,
+        degree > 3) ..................................... ring not aromatic
+
+Already-aromatic input atoms contribute their standard counts (aromatic
+N with 3 sigma neighbors -> 2, else 1; aromatic C -> 1 unless exocyclic
+double to O/N/S -> 0; aromatic O/S -> 2).
+
+On success the ring's atoms are flagged aromatic and its bonds set to
+BondType.AROMATIC. Implicit-H counts are FROZEN before conversion: an atom
+whose aromatic-form valence would drop an H (pyrrole N parsed from
+`C1=CC=CN1`) gets its Kekulé H count pinned as explicit_hs, which is also
+what makes the canonical writer emit the mandatory `[nH]` form.
+
+Documented divergences from RDKit's default model: no fused-ring-envelope
+Hückel pass (azulene-type systems that fail ring-by-ridge stay Kekulé), and
+exocyclic C=C to an acyclic atom fails the ring rather than contributing 0.
+"""
+
+from __future__ import annotations
+
+from molclr_tpu.chem.mol import BondType, Mol
+
+_PI_DONORS_2 = {"O", "S", "Se", "Te"}
+_ELECTRONEG_EXO = {"O", "N", "S"}
+
+
+def perceive_aromaticity(mol: Mol) -> Mol:
+    """Aromatize qualifying rings in place (returns mol for chaining)."""
+    rings = [r for r in mol.sssr() if len(r) >= 3]
+    if not rings:
+        return mol
+
+    ring_atom = mol.ring_atom_flags()
+    # per-atom incident bond table
+    incident: list[list[int]] = [[] for _ in mol.atoms]
+    for bi, b in enumerate(mol.bonds):
+        incident[b.a1].append(bi)
+        incident[b.a2].append(bi)
+
+    aromatic_rings: list[list[int]] = []
+    for ring in rings:
+        members = set(ring)
+        total = 0
+        ok = True
+        for a in ring:
+            c = _contribution(mol, a, members, incident, ring_atom)
+            if c is None:
+                ok = False
+                break
+            total += c
+        if ok and total % 4 == 2:
+            aromatic_rings.append(ring)
+
+    if not aromatic_rings:
+        return mol
+
+    affected = sorted({a for r in aromatic_rings for a in r})
+    h_before = {a: mol.implicit_hs(a) for a in affected}
+
+    for ring in aromatic_rings:
+        for a in ring:
+            mol.atoms[a].is_aromatic = True
+        for u, v in zip(ring, ring[1:] + ring[:1]):
+            b = mol.bond_between(u, v)
+            if b is not None:
+                b.bond_type = BondType.AROMATIC
+
+    for a in affected:
+        if mol.atoms[a].explicit_hs is None \
+                and mol.valence_model_hs(a) != h_before[a]:
+            mol.atoms[a].explicit_hs = h_before[a]
+    return mol
+
+
+def _contribution(mol: Mol, a: int, members: set[int], incident, ring_atom):
+    """Pi electrons atom `a` contributes to the ring `members`, or None if
+    the atom disqualifies the ring."""
+    atom = mol.atoms[a]
+    sym = atom.symbol
+    if len(incident[a]) > 3:
+        return None
+
+    ring_dbl = exo_ring_dbl = exo_acyc_dbl_to = None
+    n_dbl = 0
+    n_arom_bonds = 0
+    for bi in incident[a]:
+        b = mol.bonds[bi]
+        other = b.other(a)
+        if b.bond_type == BondType.TRIPLE:
+            return None
+        if b.bond_type == BondType.AROMATIC:
+            n_arom_bonds += 1
+        if b.bond_type == BondType.DOUBLE:
+            n_dbl += 1
+            if other in members:
+                ring_dbl = other
+            elif ring_atom[other]:
+                exo_ring_dbl = other
+            else:
+                exo_acyc_dbl_to = mol.atoms[other].symbol
+    if n_dbl > 1:
+        return None
+
+    n_sigma = len(incident[a]) + mol.implicit_hs(a)
+
+    if atom.is_aromatic or n_arom_bonds:
+        # parsed-aromatic input: standard aromatic contributions
+        if sym == "C":
+            return 0 if exo_acyc_dbl_to in _ELECTRONEG_EXO else 1
+        if sym in ("N", "P"):
+            return 2 if (n_sigma == 3 and n_dbl == 0) else 1
+        if sym in _PI_DONORS_2:
+            return 2
+        if sym == "B":
+            return 0
+        return None
+
+    if ring_dbl is not None or exo_ring_dbl is not None:
+        return 1
+    if exo_acyc_dbl_to is not None:
+        if sym == "C" and exo_acyc_dbl_to in _ELECTRONEG_EXO:
+            return 0
+        if sym in ("N", "P") and exo_acyc_dbl_to in _ELECTRONEG_EXO:
+            # ring N with exocyclic N=O (nitro-in-ring etc.)
+            return 1
+        return None
+    # no double bonds at all
+    if sym == "C":
+        if atom.formal_charge == -1:
+            return 2
+        if atom.formal_charge == 1:
+            return 0
+        return None
+    if sym in ("N", "P"):
+        return 2 if atom.formal_charge == 0 else None
+    if sym in _PI_DONORS_2:
+        return 2 if atom.formal_charge == 0 else None
+    if sym == "B":
+        return 0
+    return None

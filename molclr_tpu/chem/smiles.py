@@ -7,10 +7,11 @@ atoms, aromatic lowercase forms, charges, isotopes, tetrahedral chirality
 (@/@@), directional bonds (/ and \\), branches, ring closures (incl. %nn),
 and dot-separated fragments.
 
-Divergence from RDKit (documented): no kekulization/aromaticity re-perception
-is performed — lowercase atoms/bonds are taken as aromatic as written, and
-kekulized ring SMILES stay kekulized. Featurization parity therefore holds for
-aromatic-form SMILES (the form used by PubChem and the MoleculeNet CSVs).
+Like RDKit's sanitization, Hückel aromaticity perception runs on every parse
+(chem/aromatic.py): Kekulé-written rings that satisfy 4n+2 are aromatized, so
+`C1=CC=CC=C1` and `c1ccccc1` featurize and canonicalize identically.
+Lowercase atoms/bonds are additionally taken as aromatic as written (no
+kekulization check is performed on them).
 """
 
 from __future__ import annotations
@@ -159,7 +160,9 @@ def _parse(s: str) -> Mol:
         raise SmilesError(f"unclosed branch in {s!r}")
     if mol.num_atoms == 0:
         raise SmilesError(f"empty SMILES {s!r}")
-    return mol
+    from molclr_tpu.chem.aromatic import perceive_aromaticity
+
+    return perceive_aromaticity(mol)
 
 
 def _parse_bracket(body: str, full: str) -> Atom:

@@ -394,6 +394,186 @@ bool parse_smiles(const char* s, Mol& m) {
   return true;
 }
 
+// ---- Hückel aromaticity perception (mirrors chem/aromatic.py; the Python
+// module is the semantic source of truth, pinned by tests/test_native.py) --
+
+constexpr int MAX_SSSR = 128;
+constexpr int MAX_RING = 20;
+
+// pi-electron contribution of ring atom a, or -1 if it disqualifies the ring
+int pi_contribution(const Mol& m, int a, const bool* in_ring_set,
+                    const bool* ring_atom, const int* inc, int deg) {
+  const Atom& at = m.atoms[a];
+  if (deg > 3) return -1;
+  int n_dbl = 0, n_arom = 0;
+  bool ring_dbl = false, exo_ring_dbl = false;
+  int exo_acyc_dbl_z = 0;
+  for (int k = 0; k < deg; ++k) {
+    const Bond& b = m.bonds[inc[k]];
+    int other = (b.a1 == a) ? b.a2 : b.a1;
+    if (b.type == B_TRIPLE) return -1;
+    if (b.type == B_AROMATIC) n_arom++;
+    if (b.type == B_DOUBLE) {
+      n_dbl++;
+      if (in_ring_set[other]) ring_dbl = true;
+      else if (ring_atom[other]) exo_ring_dbl = true;
+      else exo_acyc_dbl_z = m.atoms[other].z;
+    }
+  }
+  if (n_dbl > 1) return -1;
+  int n_sigma = deg + implicit_hs(m, a);
+  bool exo_electroneg = (exo_acyc_dbl_z == 7 || exo_acyc_dbl_z == 8 ||
+                         exo_acyc_dbl_z == 16);
+  int z = at.z;
+  if (at.aromatic || n_arom > 0) {
+    if (z == 6) return exo_electroneg ? 0 : 1;
+    if (z == 7 || z == 15) return (n_sigma == 3 && n_dbl == 0) ? 2 : 1;
+    if (z == 8 || z == 16 || z == 34 || z == 52) return 2;
+    if (z == 5) return 0;
+    return -1;
+  }
+  if (ring_dbl || exo_ring_dbl) return 1;
+  if (exo_acyc_dbl_z != 0) {
+    if (z == 6 && exo_electroneg) return 0;
+    if ((z == 7 || z == 15) && exo_electroneg) return 1;
+    return -1;
+  }
+  // no double bonds
+  if (z == 6) {
+    if (at.charge == -1) return 2;
+    if (at.charge == 1) return 0;
+    return -1;
+  }
+  if (z == 7 || z == 15) return at.charge == 0 ? 2 : -1;
+  if (z == 8 || z == 16 || z == 34 || z == 52) return at.charge == 0 ? 2 : -1;
+  if (z == 5) return 0;
+  return -1;
+}
+
+void perceive_aromaticity(Mol& m) {
+  int n = m.n_atoms;
+  if (n == 0 || m.n_bonds == 0) return;
+
+  // SSSR approximation: per ring bond, the shortest cycle through it
+  // (BFS avoiding the bond), deduplicated by membership.
+  static thread_local int rings_buf[MAX_SSSR][MAX_RING];
+  static thread_local int ring_key[MAX_SSSR][MAX_RING];
+  int ring_len[MAX_SSSR];
+  int n_rings = 0;
+  bool ring_atom[MAX_ATOMS];
+  memset(ring_atom, 0, sizeof(bool) * n);
+
+  for (int bi = 0; bi < m.n_bonds; ++bi) {
+    int a1 = m.bonds[bi].a1, a2 = m.bonds[bi].a2;
+    int prev[MAX_ATOMS];
+    for (int i = 0; i < n; ++i) prev[i] = -2;
+    int q[MAX_ATOMS];
+    int qh = 0, qt = 0;
+    prev[a1] = -1;
+    q[qt++] = a1;
+    while (qh < qt && prev[a2] == -2) {
+      int u = q[qh++];
+      for (int bj = 0; bj < m.n_bonds; ++bj) {
+        if (bj == bi) continue;
+        const Bond& b = m.bonds[bj];
+        int v;
+        if (b.a1 == u) v = b.a2;
+        else if (b.a2 == u) v = b.a1;
+        else continue;
+        if (prev[v] != -2) continue;
+        prev[v] = u;
+        q[qt++] = v;
+      }
+    }
+    if (prev[a2] == -2) continue;  // bridge bond, no ring
+    int path[MAX_ATOMS];
+    int plen = 0;
+    for (int u = a2; u != -1; u = prev[u]) path[plen++] = u;
+    for (int k = 0; k < plen; ++k) ring_atom[path[k]] = true;
+    if (plen < 3 || plen > MAX_RING || n_rings >= MAX_SSSR) continue;
+    int key[MAX_RING];
+    memcpy(key, path, plen * sizeof(int));
+    for (int x = 1; x < plen; ++x) {  // insertion sort
+      int v = key[x], y = x - 1;
+      while (y >= 0 && key[y] > v) { key[y + 1] = key[y]; y--; }
+      key[y + 1] = v;
+    }
+    bool dup = false;
+    for (int r = 0; r < n_rings && !dup; ++r)
+      dup = ring_len[r] == plen &&
+            memcmp(ring_key[r], key, plen * sizeof(int)) == 0;
+    if (dup) continue;
+    memcpy(rings_buf[n_rings], path, plen * sizeof(int));
+    memcpy(ring_key[n_rings], key, plen * sizeof(int));
+    ring_len[n_rings++] = plen;
+  }
+  if (n_rings == 0) return;
+
+  // incident bond lists (capped at 4; degree > 4 can't be aromatic anyway)
+  static thread_local int inc[MAX_ATOMS][4];
+  int deg[MAX_ATOMS];
+  memset(deg, 0, sizeof(int) * n);
+  for (int bi = 0; bi < m.n_bonds; ++bi) {
+    for (int end = 0; end < 2; ++end) {
+      int a = end ? m.bonds[bi].a2 : m.bonds[bi].a1;
+      if (deg[a] < 4) inc[a][deg[a]] = bi;
+      deg[a]++;
+    }
+  }
+
+  bool aromatic_ring[MAX_SSSR];
+  bool any = false;
+  bool in_set[MAX_ATOMS];
+  for (int r = 0; r < n_rings; ++r) {
+    memset(in_set, 0, sizeof(bool) * n);
+    for (int k = 0; k < ring_len[r]; ++k) in_set[rings_buf[r][k]] = true;
+    int total = 0;
+    bool ok = true;
+    for (int k = 0; k < ring_len[r] && ok; ++k) {
+      int a = rings_buf[r][k];
+      int c = pi_contribution(m, a, in_set, ring_atom, inc[a], deg[a]);
+      if (c < 0) ok = false;
+      else total += c;
+    }
+    aromatic_ring[r] = ok && (total % 4 == 2);
+    any |= aromatic_ring[r];
+  }
+  if (!any) return;
+
+  // freeze H counts before mutating bonds, then aromatize
+  bool affected[MAX_ATOMS];
+  memset(affected, 0, sizeof(bool) * n);
+  int h_before[MAX_ATOMS];
+  for (int r = 0; r < n_rings; ++r) {
+    if (!aromatic_ring[r]) continue;
+    for (int k = 0; k < ring_len[r]; ++k) {
+      int a = rings_buf[r][k];
+      if (!affected[a]) {
+        affected[a] = true;
+        h_before[a] = implicit_hs(m, a);
+      }
+    }
+  }
+  for (int r = 0; r < n_rings; ++r) {
+    if (!aromatic_ring[r]) continue;
+    int len = ring_len[r];
+    for (int k = 0; k < len; ++k) {
+      int u = rings_buf[r][k], v = rings_buf[r][(k + 1) % len];
+      m.atoms[u].aromatic = true;
+      for (int bj = 0; bj < m.n_bonds; ++bj) {
+        Bond& b = m.bonds[bj];
+        if ((b.a1 == u && b.a2 == v) || (b.a1 == v && b.a2 == u))
+          b.type = B_AROMATIC;
+      }
+    }
+  }
+  for (int a = 0; a < n; ++a) {
+    if (affected[a] && m.atoms[a].explicit_h < 0 &&
+        implicit_hs(m, a) != h_before[a])
+      m.atoms[a].explicit_h = h_before[a];
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -409,6 +589,7 @@ int mtpu_featurize(const char* smiles, int add_hs,
                    int32_t max_atoms, int32_t max_bonds) {
   Mol m;
   if (!parse_smiles(smiles, m)) return -1;
+  perceive_aromaticity(m);
 
   int base_atoms = m.n_atoms;
   if (add_hs) {

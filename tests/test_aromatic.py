@@ -1,0 +1,98 @@
+"""Hückel aromaticity perception (chem/aromatic.py): Kekulé and aromatic
+spellings of the same molecule must featurize and canonicalize identically,
+as RDKit's sanitization guarantees for the reference (dataset/dataset.py:62).
+Also pins Python<->native featurizer parity on Kekulé inputs."""
+
+import numpy as np
+import pytest
+
+from molclr_tpu.chem import canonical_smiles, parse_smiles
+from molclr_tpu.chem.mol import BondType, mol_formula
+
+EQUIVALENT = [
+    ("benzene", "C1=CC=CC=C1", "c1ccccc1"),
+    ("pyridine", "C1=CC=NC=C1", "c1ccncc1"),
+    ("toluene", "CC1=CC=CC=C1", "Cc1ccccc1"),
+    ("pyrrole", "C1=CC=CN1", "c1cc[nH]c1"),
+    ("imidazole", "C1=CN=CN1", "c1cnc[nH]1"),
+    ("furan", "C1=CC=CO1", "c1ccoc1"),
+    ("thiophene", "C1=CC=CS1", "c1ccsc1"),
+    ("naphthalene", "C1=CC2=CC=CC=C2C=C1", "c1ccc2ccccc2c1"),
+    ("indole", "C1=CC2=C(C=C1)NC=C2", "c1ccc2[nH]ccc2c1"),
+    ("caffeine", "CN1C(=O)N(C)c2ncn(C)c2C1=O",
+     "Cn1cnc2c1c(=O)n(C)c(=O)n2C"),
+    ("2-pyridone", "O=C1C=CC=CN1", "O=c1cccc[nH]1"),
+]
+
+NON_AROMATIC = [
+    ("cyclohexane", "C1CCCCC1"),
+    ("cyclohexene", "C1=CCCCC1"),
+    ("cyclobutadiene", "C1=CC=C1"),          # 4 pi e
+    ("cyclooctatetraene", "C1=CC=CC=CC=C1"),  # 8 pi e
+    ("fulvene", "C=C1C=CC=C1"),               # exocyclic C=C
+    ("cyclopentadiene", "C1=CC=CC1"),          # sp3 CH2 breaks the ring
+]
+
+
+@pytest.mark.parametrize("name,kekule,aromatic", EQUIVALENT)
+def test_kekule_equals_aromatic_spelling(name, kekule, aromatic):
+    ck = canonical_smiles(parse_smiles(kekule))
+    ca = canonical_smiles(parse_smiles(aromatic))
+    assert ck == ca, name
+    # round-trip invariance of the canonical form itself
+    assert canonical_smiles(parse_smiles(ck)) == ck, name
+
+
+@pytest.mark.parametrize("name,kekule,aromatic", EQUIVALENT)
+def test_hydrogen_counts_preserved(name, kekule, aromatic):
+    assert mol_formula(parse_smiles(kekule)) == \
+        mol_formula(parse_smiles(aromatic)), name
+
+
+@pytest.mark.parametrize("name,smiles", NON_AROMATIC)
+def test_non_aromatic_rings_stay_kekule(name, smiles):
+    mol = parse_smiles(smiles)
+    assert not any(a.is_aromatic for a in mol.atoms), name
+    assert not any(b.bond_type == BondType.AROMATIC for b in mol.bonds), name
+
+
+def test_perceived_bond_types_match_rdkit_featurization():
+    """Kekulé benzene must featurize with AROMATIC (index 3) ring bonds,
+    the values RDKit hands the reference featurizer
+    (dataset/dataset.py:96-106)."""
+    from molclr_tpu.data.featurize import featurize_smiles
+
+    g = featurize_smiles("C1=CC=CC=C1")
+    assert (g.bond_type == 3).all()
+    g2 = featurize_smiles("c1ccccc1")
+    np.testing.assert_array_equal(g.bond_type, g2.bond_type)
+    np.testing.assert_array_equal(g.atom_type, g2.atom_type)
+
+
+def test_pyrrole_nh_written_bracketed():
+    # the frozen H count forces the mandatory [nH] form
+    s = canonical_smiles(parse_smiles("C1=CC=CN1"))
+    assert "[nH]" in s
+
+
+def test_native_parity_on_kekule_inputs():
+    from molclr_tpu import native
+
+    if not native.native_available():
+        pytest.skip("no native featurizer")
+    from molclr_tpu.data.featurize import featurize_smiles
+
+    cases = [k for _, k, _ in EQUIVALENT] + [a for _, _, a in EQUIVALENT] \
+        + [s for _, s in NON_AROMATIC] \
+        + ["O=C1NC(=O)C2=C1C=CC=C2",
+           "CC1(C)S[C@@H]2[C@H](NC(=O)Cc3ccccc3)C(=O)N2[C@H]1C(=O)O"]
+    for s in cases:
+        for add_hs in (False, True):
+            py = featurize_smiles(s, add_hs=add_hs)
+            out = native.featurize_corpus_native([s], add_hs=add_hs)
+            assert out is not None and len(out[0]) == 1, s
+            nat = out[0][0]
+            for f in ("atom_type", "chirality", "edge_src", "edge_dst",
+                      "bond_type", "bond_dir"):
+                np.testing.assert_array_equal(
+                    getattr(py, f), getattr(nat, f), err_msg=f"{s} {f}")

@@ -46,6 +46,9 @@ def main() -> int:
     p.add_argument("--tile", type=int, default=256,
                    help="tile-dense aggregation (block-diagonal MXU "
                         "matmuls) with this tile size; 0 = ELL gathers")
+    p.add_argument("--concat", action="store_true",
+                   help="both contrastive views in ONE forward "
+                        "(joint BN stats) instead of two sequential passes")
     args = p.parse_args()
 
     import jax
@@ -93,17 +96,26 @@ def main() -> int:
                        batch_stats=variables.get("batch_stats", {}),
                        opt_state=tx.init(variables["params"]), step=0)
 
+    from molclr_tpu.data.graphs import concat_views
+
     def loss_fn(params, batch_stats, rng):
         ra, ri, rj = jax.random.split(rng, 3)
         vi, vj = paired_augment(batch, ra, args.aug)
-        # sequential two-pass over the views: on v5e this keeps the feature
-        # table cache-resident and beats the concatenated single forward
-        (_, zi), upd = model.apply(
-            {"params": params, "batch_stats": batch_stats}, vi, train=True,
-            rngs={"dropout": ri}, mutable=["batch_stats"])
-        (_, zj), upd = model.apply(
-            {"params": params, "batch_stats": upd["batch_stats"]}, vj,
-            train=True, rngs={"dropout": rj}, mutable=["batch_stats"])
+        if args.concat:
+            both = concat_views(vi, vj)
+            (_, z), upd = model.apply(
+                {"params": params, "batch_stats": batch_stats}, both,
+                train=True, rngs={"dropout": ri}, mutable=["batch_stats"])
+            zi, zj = z[: batch.num_graphs], z[batch.num_graphs :]
+        else:
+            # sequential two-pass over the views: on v5e this keeps the
+            # feature table cache-resident vs the concatenated forward
+            (_, zi), upd = model.apply(
+                {"params": params, "batch_stats": batch_stats}, vi,
+                train=True, rngs={"dropout": ri}, mutable=["batch_stats"])
+            (_, zj), upd = model.apply(
+                {"params": params, "batch_stats": upd["batch_stats"]}, vj,
+                train=True, rngs={"dropout": rj}, mutable=["batch_stats"])
         return nt_xent_loss(zi.astype(jnp.float32), zj.astype(jnp.float32),
                             0.1, pair_mask=batch.graph_mask), \
             upd["batch_stats"]

@@ -139,7 +139,16 @@ class BatchIterator:
     drop_last=True matches the reference pretrain loader contract
     (dataset/dataset.py:179-183); here it also keeps batch shapes static.
     On PackOverflow the largest molecules of the batch are dropped (and the
-    batch padded short) rather than crashing."""
+    batch padded short) rather than crashing.
+
+    cache_packed=True packs each batch ONCE (epoch 0's molecule shuffle
+    fixes the compositions) and later epochs re-yield the cached
+    GraphBatches in a freshly shuffled ORDER. Valid because stochastic
+    augmentation runs on-device per step (data/augment.py) — unlike the
+    reference, whose DataLoader workers re-augment on the host per epoch —
+    so only the in-batch negative composition is frozen. Cuts the host
+    packing cost to a one-time setup (it otherwise dominates end-to-end
+    wall-clock: ~33 ms per 512-molecule pack vs a ~5 ms device step)."""
 
     graphs: list[MolGraph]
     spec: PadSpec
@@ -148,11 +157,13 @@ class BatchIterator:
     shuffle: bool = True
     drop_last: bool = True
     seed: int = 0
+    cache_packed: bool = False
 
     def __post_init__(self):
         if self.batch_size is None:
             self.batch_size = self.spec.n_graphs
         self._epoch = 0
+        self._cache = None
 
     def __len__(self) -> int:
         n = len(self.graphs)
@@ -160,13 +171,8 @@ class BatchIterator:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator:
+    def _pack_epoch(self, order) -> Iterator:
         n = len(self.graphs)
-        order = np.arange(n)
-        if self.shuffle:
-            rng = np.random.RandomState(self.seed + self._epoch)
-            rng.shuffle(order)
-        self._epoch += 1
         stop = (n - n % self.batch_size) if self.drop_last else n
         for lo in range(0, stop, self.batch_size):
             idx = order[lo : lo + self.batch_size]
@@ -182,3 +188,76 @@ class BatchIterator:
                     idx.pop(drop)
             labels = (self.labels[idx] if self.labels is not None else None)
             yield gb, labels, np.asarray(idx)
+
+    @property
+    def cache(self):
+        """The packed-batch cache (None until a full epoch has run with
+        cache_packed=True)."""
+        return self._cache
+
+    def cached_epoch_order(self):
+        """Batch-index permutation for the next epoch over the cache,
+        advancing the epoch counter (same stream as __iter__ would use).
+        None if no cache is installed yet."""
+        if self._cache is None:
+            return None
+        rng = np.random.RandomState(self.seed + self._epoch)
+        self._epoch += 1
+        n = len(self._cache)
+        return rng.permutation(n) if self.shuffle else np.arange(n)
+
+    def __iter__(self) -> Iterator:
+        if self._cache is not None:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            self._epoch += 1
+            order = rng.permutation(len(self._cache)) if self.shuffle \
+                else np.arange(len(self._cache))
+            for b in order:
+                yield self._cache[b]
+            return
+        order = np.arange(len(self.graphs))
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            rng.shuffle(order)
+        self._epoch += 1
+        if self.cache_packed:
+            # install the cache only once the epoch COMPLETES: callers also
+            # draw single example batches via next(iter(...)), and an
+            # abandoned partial epoch must not masquerade as the corpus
+            cache = []
+            for item in self._pack_epoch(order):
+                cache.append(item)
+                yield item
+            self._cache = cache
+            return
+        yield from self._pack_epoch(order)
+
+
+def prefetch_iter(it, depth: int = 2):
+    """Run an iterator in a background thread with a bounded queue so host
+    packing overlaps device execution (the double-buffered host pipeline;
+    the reference overlaps via DataLoader workers, config.yaml:25)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    _END = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # surface errors in the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+    t.join()

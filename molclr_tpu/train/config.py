@@ -57,6 +57,20 @@ class PretrainConfig:
     data_axis: str = ""             # mesh axis name for DP ('' = single chip)
     steps_per_dispatch: int = 8     # train steps folded into one jitted scan
                                     # (amortizes dispatch overhead; 1 = off)
+    pack_cache_max_mols: int = 500_000  # cache packed batches across epochs
+                                    # (batch order reshuffles; composition
+                                    # fixes after epoch 0 — augmentation is
+                                    # on-device so per-step stochasticity is
+                                    # unaffected) for corpora up to this
+                                    # size; 0 disables (repack every epoch,
+                                    # ~2 MB host RAM per 512-mol batch)
+    prefetch: int = 2               # host batches packed ahead in a
+                                    # background thread (0 = off)
+    device_cache_mb: int = 2048     # if the packed-batch cache fits in this
+                                    # many MB, upload it to HBM once and
+                                    # scan dispatches over index vectors —
+                                    # no per-step host->device transfers
+                                    # (0 disables; single-chip path only)
     profile_dir: str = ""           # write a jax.profiler trace of the first
                                     # few dispatches of epoch 0 here
     tensorboard: bool = False       # also write TB scalars into ckpt_dir

@@ -66,7 +66,8 @@ class Pretrainer:
                                     tile=cfg.model.tile)
         self.train_iter = BatchIterator(
             [graphs[i] for i in train_ids], self.spec, shuffle=True,
-            drop_last=True, seed=cfg.seed)
+            drop_last=True, seed=cfg.seed,
+            cache_packed=0 < len(train_ids) <= cfg.pack_cache_max_mols)
         tr = [graphs[i] for i in train_ids]
         self._mean_real_nodes = float(np.mean([g.n_atoms for g in tr])) \
             * cfg.batch_size if tr else 0.0
@@ -161,6 +162,16 @@ class Pretrainer:
             return jax.lax.scan(
                 lambda s, b: train_step(s, b, rng), state, stacked_batches)
 
+        def multi_step_resident(state, stack, idxs, rng):
+            """Scan over the DEVICE-RESIDENT batch cache: `stack` is the
+            whole epoch's packed batches stacked on HBM; `idxs` selects this
+            dispatch's (shuffled) batches. No host->device data movement per
+            step — the epoch's only uploads are the index vectors."""
+            def body(s, i):
+                b = jax.tree_util.tree_map(lambda x: x[i], stack)
+                return train_step(s, b, rng)
+            return jax.lax.scan(body, state, idxs)
+
         def eval_step(state, batch, rng):
             vi, vj = paired_augment(batch, rng, cfg.aug)
             _, zi = model.apply({"params": state.params,
@@ -193,7 +204,10 @@ class Pretrainer:
         else:
             self._train_step = jax.jit(train_step, donate_argnums=(0,))
             self._multi_step = jax.jit(multi_step, donate_argnums=(0,))
+            self._multi_step_resident = jax.jit(multi_step_resident,
+                                                donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
+        self._device_stack = None
 
     # ---- loops ----
     def _dispatch(self, batches, rng, log, epoch, cfg):
@@ -221,6 +235,36 @@ class Pretrainer:
                 f"lr {float(self.schedule(step)):.6f}")
         return losses
 
+    def _log_step(self, log, epoch, losses, cfg):
+        step = int(self.state.step)
+        if losses and step % cfg.log_every_steps < len(losses):
+            log(f"epoch {epoch} step {step} loss {losses[-1]:.4f} "
+                f"lr {float(self.schedule(step)):.6f}")
+
+    def _maybe_upload_cache(self, log):
+        """Once the host batch cache exists (after the first full epoch),
+        stack it and upload to HBM if it fits the device_cache_mb budget."""
+        cfg = self.cfg
+        if (self._device_stack is not None or cfg.data_axis
+                or not cfg.device_cache_mb):
+            return
+        cache = getattr(self.train_iter, "cache", None)
+        if not cache:
+            return
+        batches = [gb for gb, _, _ in cache]
+        per = sum(np.asarray(x).nbytes
+                  for x in jax.tree_util.tree_leaves(batches[0]))
+        total_mb = per * len(batches) / 2**20
+        if total_mb > cfg.device_cache_mb:
+            log(f"packed-batch cache {total_mb:.0f} MB exceeds "
+                f"device_cache_mb={cfg.device_cache_mb}; staying host-side")
+            return
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs, axis=0), *batches)
+        self._device_stack = jax.device_put(stacked)
+        log(f"uploaded {len(batches)}-batch cache ({total_mb:.0f} MB) to "
+            f"device; epochs are now transfer-free")
+
     def validate(self, rng) -> float:
         losses = []
         for i, (batch, _, _) in enumerate(self.valid_iter):
@@ -246,25 +290,45 @@ class Pretrainer:
         if cfg.profile_dir:
             jax.profiler.start_trace(cfg.profile_dir)
             profiler_active = True
+        from molclr_tpu.data.loader import prefetch_iter
+
         for epoch in range(cfg.epochs):
             t0 = time.time()
             losses = []
             pending = []
-            for batch, _, _ in self.train_iter:
-                pending.append(batch)
-                if len(pending) < s_fold:
-                    continue
-                losses.extend(self._dispatch(pending, rng, log, epoch, cfg))
-                pending = []
-            if cfg.data_axis:
-                # remainder smaller than one device-group is dropped
-                # (drop_last at superbatch granularity)
-                losses.extend(self._dispatch(pending, rng, log, epoch, cfg))
+            if self._device_stack is not None:
+                # device-resident epoch: dispatch scans over index vectors
+                # into the HBM batch cache; nothing but indices is uploaded
+                order = self.train_iter.cached_epoch_order()
+                for lo in range(0, len(order), s_fold):
+                    idxs = jnp.asarray(order[lo : lo + s_fold],
+                                       dtype=jnp.int32)
+                    self.state, loss_arr = self._multi_step_resident(
+                        self.state, self._device_stack, idxs, rng)
+                    losses.extend(float(x) for x in np.asarray(loss_arr))
+                self._log_step(log, epoch, losses, cfg)
             else:
-                for batch in pending:  # epoch remainder, one per dispatch
-                    self.state, loss = self._train_step(self.state, batch,
-                                                        rng)
-                    losses.append(float(loss))
+                epoch_iter = (prefetch_iter(iter(self.train_iter),
+                                            cfg.prefetch)
+                              if cfg.prefetch else self.train_iter)
+                for batch, _, _ in epoch_iter:
+                    pending.append(batch)
+                    if len(pending) < s_fold:
+                        continue
+                    losses.extend(self._dispatch(pending, rng, log, epoch,
+                                                 cfg))
+                    pending = []
+                if cfg.data_axis:
+                    # remainder smaller than one device-group is dropped
+                    # (drop_last at superbatch granularity)
+                    losses.extend(self._dispatch(pending, rng, log, epoch,
+                                                 cfg))
+                else:
+                    for batch in pending:  # epoch remainder, 1 per dispatch
+                        self.state, loss = self._train_step(self.state,
+                                                            batch, rng)
+                        losses.append(float(loss))
+                self._maybe_upload_cache(log)
             if profiler_active:
                 jax.block_until_ready(self.state.params)
                 jax.profiler.stop_trace()

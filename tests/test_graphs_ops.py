@@ -193,3 +193,80 @@ class TestAggregate:
         assert out[6] == 0.0
         ref = np.exp([1, 2, 3]) / np.exp([1, 2, 3]).sum()
         np.testing.assert_allclose(out[:3], ref, rtol=1e-5)
+
+
+class TestPackCacheAndPrefetch:
+    def _graphs(self):
+        from molclr_tpu.data.synthetic import synthetic_corpus
+
+        gs = [featurize_smiles(s) for s in synthetic_corpus(24, seed=11)]
+        return [g for g in gs if g is not None and g.max_degree <= 6]
+
+    def test_cached_epochs_reshuffle_order_not_composition(self):
+        from molclr_tpu.data.loader import BatchIterator, spec_for_graphs
+
+        gs = self._graphs()
+        spec = spec_for_graphs(gs, 4)
+        it = BatchIterator(gs, spec, batch_size=4, seed=3,
+                           cache_packed=True)
+        e1 = [tuple(idx) for _, _, idx in it]
+        e2 = [tuple(idx) for _, _, idx in it]
+        e3 = [tuple(idx) for _, _, idx in it]
+        assert sorted(e1) == sorted(e2) == sorted(e3)  # same compositions
+        assert e2 != e1 or e3 != e1                    # order reshuffles
+        # cached batches are the identical packed objects (no repacking)
+        assert it._cache is not None and len(it._cache) == len(e1)
+
+    def test_uncached_epochs_resample_compositions(self):
+        from molclr_tpu.data.loader import BatchIterator, spec_for_graphs
+
+        gs = self._graphs()
+        spec = spec_for_graphs(gs, 4)
+        it = BatchIterator(gs, spec, batch_size=4, seed=3)
+        e1 = [tuple(idx) for _, _, idx in it]
+        e2 = [tuple(idx) for _, _, idx in it]
+        assert sorted(e1) != sorted(e2)
+
+    def test_prefetch_iter_matches_direct(self):
+        from molclr_tpu.data.loader import (
+            BatchIterator,
+            prefetch_iter,
+            spec_for_graphs,
+        )
+
+        gs = self._graphs()
+        spec = spec_for_graphs(gs, 4)
+        direct = list(BatchIterator(gs, spec, batch_size=4, seed=5))
+        pre = list(prefetch_iter(iter(
+            BatchIterator(gs, spec, batch_size=4, seed=5)), depth=2))
+        assert len(direct) == len(pre)
+        for (ga, la, ia), (gb, lb, ib) in zip(direct, pre):
+            np.testing.assert_array_equal(ia, ib)
+            np.testing.assert_array_equal(ga.atom_type, gb.atom_type)
+
+    def test_prefetch_iter_propagates_errors(self):
+        def boom():
+            yield 1
+            raise RuntimeError("packer died")
+
+        from molclr_tpu.data.loader import prefetch_iter
+
+        it = prefetch_iter(boom(), depth=2)
+        assert next(it) == 1
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="packer died"):
+            next(it)
+
+    def test_abandoned_partial_epoch_does_not_install_cache(self):
+        from molclr_tpu.data.loader import BatchIterator, spec_for_graphs
+
+        gs = self._graphs()
+        spec = spec_for_graphs(gs, 4)
+        it = BatchIterator(gs, spec, batch_size=4, seed=3,
+                           cache_packed=True)
+        next(iter(it))                 # example-batch draw, abandoned
+        assert it._cache is None
+        full = [tuple(i) for _, _, i in it]
+        assert len(full) == len(it)    # full epoch still yields everything
+        assert it._cache is not None and len(it._cache) == len(it)

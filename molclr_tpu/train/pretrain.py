@@ -76,7 +76,8 @@ class Pretrainer:
             if tr else 0.0
         self.valid_iter = BatchIterator(
             [graphs[i] for i in valid_ids], self.spec, shuffle=False,
-            drop_last=False, seed=cfg.seed)
+            drop_last=False, seed=cfg.seed,
+            cache_packed=0 < len(valid_ids) <= cfg.pack_cache_max_mols)
         return self
 
     # ---- model/optimizer ----
@@ -172,6 +173,18 @@ class Pretrainer:
                 return train_step(s, b, rng)
             return jax.lax.scan(body, state, idxs)
 
+        def eval_multi(state, stack, rng):
+            """All validation batches in one dispatch over the device-
+            resident eval stack (same per-batch rng stream as the loop)."""
+            n = jax.tree_util.tree_leaves(stack)[0].shape[0]
+
+            def body(_, i):
+                b = jax.tree_util.tree_map(lambda x: x[i], stack)
+                return None, eval_step(state, b, jax.random.fold_in(rng, i))
+
+            return jax.lax.scan(body, None,
+                                jnp.arange(n, dtype=jnp.int32))[1]
+
         def eval_step(state, batch, rng):
             vi, vj = paired_augment(batch, rng, cfg.aug)
             _, zi = model.apply({"params": state.params,
@@ -207,6 +220,8 @@ class Pretrainer:
             self._multi_step_resident = jax.jit(multi_step_resident,
                                                 donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
+        self._eval_multi = jax.jit(eval_multi)
+        self._eval_stack = None
         self._device_stack = None
 
     # ---- loops ----
@@ -266,10 +281,23 @@ class Pretrainer:
             f"device; epochs are now transfer-free")
 
     def validate(self, rng) -> float:
+        if self._eval_stack is not None:
+            losses = self._eval_multi(self.state, self._eval_stack, rng)
+            return float(np.mean(np.asarray(losses)))
         losses = []
         for i, (batch, _, _) in enumerate(self.valid_iter):
             losses.append(float(self._eval_step(
                 self.state, batch, jax.random.fold_in(rng, i))))
+        # after a full pass the iterator's cache exists; keep eval batches
+        # on device from now on (validation runs every epoch, and per-epoch
+        # uploads over the tunnel otherwise dominate the short epochs)
+        cache = getattr(self.valid_iter, "cache", None)
+        if (cache and not self.cfg.data_axis and self.cfg.device_cache_mb
+                and self._eval_stack is None):
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs, axis=0),
+                *[gb for gb, _, _ in cache])
+            self._eval_stack = jax.device_put(stacked)
         return float(np.mean(losses)) if losses else float("nan")
 
     def train(self, log=print):

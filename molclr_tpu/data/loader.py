@@ -96,10 +96,19 @@ def featurize_many(smiles: list[str], add_hs: bool = False,
 
 def spec_for_graphs(graphs: list[MolGraph], batch_size: int,
                     max_degree: int = 6, slack: float = 1.1,
-                    quantile: float = 1.0, tile: int = 0) -> PadSpec:
+                    quantile: float = 1.0, tile: int = 0,
+                    sizing: str = "total",
+                    margin_sigmas: float = 5.0) -> PadSpec:
     """A PadSpec that fits `batch_size` molecules drawn from this corpus.
-    quantile < 1 trades coverage for padding efficiency; oversized batches
-    fall back to dropping molecules at pack time.
+
+    sizing='total' (default): capacity is sized for the statistical TOTAL
+    of a random batch — batch*mean + margin_sigmas*std*sqrt(batch) + the
+    largest single molecule — instead of batch*max. Random batch totals
+    concentrate sharply (CLT), so this typically halves the padded node
+    count (and therefore per-step compute) vs the worst-case sizing, at an
+    overflow probability far below 1e-5 per batch; BatchIterator's
+    drop-largest fallback absorbs the tail. sizing='max' restores the
+    worst-case batch*max(quantile) sizing (every random batch fits).
 
     max_degree acts as a CAP: the spec uses the corpus's actual maximum
     degree when smaller, shrinking the ELL slot count K (every slot costs a
@@ -114,16 +123,23 @@ def spec_for_graphs(graphs: list[MolGraph], batch_size: int,
     max_degree = min(max_degree, max(1, data_max_deg))
     atoms = np.array([g.n_atoms for g in graphs])
     edges = np.array([g.edge_src.shape[0] for g in graphs])
-    if quantile >= 1.0:
-        a, e = atoms.max(), edges.max()
-    else:
-        a = np.quantile(atoms, quantile)
-        e = np.quantile(edges, quantile)
-    n_nodes = int(np.ceil(batch_size * float(a) * slack))
-    n_edges = int(np.ceil(batch_size * float(e) * slack / 2) * 2)
+    if len(atoms) == 0:
+        atoms, edges = np.array([1]), np.array([2])
+
+    def capacity(x):
+        if sizing == "total":
+            est = (batch_size * float(x.mean())
+                   + margin_sigmas * float(x.std()) * batch_size ** 0.5
+                   + float(x.max()))
+            return int(np.ceil(est * min(slack, 1.05)))
+        a = x.max() if quantile >= 1.0 else np.quantile(x, quantile)
+        return int(np.ceil(batch_size * float(a) * slack))
+
+    n_nodes = capacity(atoms)
+    n_edges = -(-capacity(edges) // 2) * 2
     if tile:
         # fragmentation headroom: ~ mean molecule size per tile boundary
-        mean_atoms = float(atoms.mean()) if len(atoms) else 1.0
+        mean_atoms = float(atoms.mean())
         est_tiles = max(1, -(-n_nodes // tile))
         n_nodes += int(np.ceil(est_tiles * mean_atoms * 0.75))
         n_nodes = -(-max(n_nodes, 8) // tile) * tile

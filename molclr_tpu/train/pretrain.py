@@ -87,27 +87,48 @@ class Pretrainer:
                                     example_batch, train=False)
         params = variables["params"]
         stats = variables.get("batch_stats", {})
-        if cfg.resume_from:
-            params, stats = self._resume(params, stats)
+        self._start_epoch = 0
         steps_per_epoch = max(1, len(self.train_iter))
         self.schedule = warmup_then_cosine(cfg.init_lr, steps_per_epoch,
                                            cfg.epochs, cfg.warm_up)
         self.tx = adam_torch(self.schedule, cfg.weight_decay)
+        full = None
+        if cfg.resume_from:
+            params, stats, full = self._resume(params, stats)
         self.state = TrainState(params=params, batch_stats=stats,
                                 opt_state=self.tx.init(params), step=0)
+        if full is not None:
+            # full-state resume: optimizer moments, step count (and thus the
+            # LR schedule position) and epoch continue where they left off —
+            # the reference restarts schedules on resume (molclr.py:149-158)
+            self.state = TrainState(params=full["params"],
+                                    batch_stats=full["batch_stats"],
+                                    opt_state=full["opt_state"],
+                                    step=int(full["step"]))
+            self._start_epoch = int(full["epoch"]) + 1
         return self
 
     def _resume(self, params, stats):
+        """Returns (params, stats, full_state_or_None). Accepts a torch
+        .pth (weights-only transfer), a full-state Orbax checkpoint
+        (resumes optimizer/step/epoch), or a weights-only Orbax dir."""
         path = self.cfg.resume_from
         if path.endswith(".pth"):
             imported_p, imported_s = ckpt_lib.import_torch_params(
                 ckpt_lib.load_torch_state_dict(path),
                 gnn_type=self.cfg.model.gnn_type)
             return (ckpt_lib.transfer_params(imported_p, params),
-                    ckpt_lib.transfer_params(imported_s, stats))
-        restored = ckpt_lib.load_checkpoint(
-            path, {"params": params, "batch_stats": stats})
-        return restored["params"], restored["batch_stats"]
+                    ckpt_lib.transfer_params(imported_s, stats), None)
+        try:
+            full = ckpt_lib.load_checkpoint(path, {
+                "params": params, "batch_stats": stats,
+                "opt_state": self.tx.init(params),
+                "step": 0, "epoch": 0})
+            return full["params"], full["batch_stats"], full
+        except Exception:
+            restored = ckpt_lib.load_checkpoint(
+                path, {"params": params, "batch_stats": stats})
+            return restored["params"], restored["batch_stats"], None
 
     # ---- jitted steps ----
     def _build_steps(self):
@@ -320,7 +341,7 @@ class Pretrainer:
             profiler_active = True
         from molclr_tpu.data.loader import prefetch_iter
 
-        for epoch in range(cfg.epochs):
+        for epoch in range(getattr(self, "_start_epoch", 0), cfg.epochs):
             t0 = time.time()
             losses = []
             pending = []
@@ -386,10 +407,14 @@ class Pretrainer:
                          "batch_stats": self.state.batch_stats},
                         force=True)
             if (epoch + 1) % cfg.save_every_epochs == 0:
+                # periodic checkpoints carry the FULL train state so resume
+                # continues the optimizer/schedule (unlike the reference)
                 ckpt_lib.save_checkpoint(
                     cfg.ckpt_dir, int(self.state.step),
                     {"params": self.state.params,
-                     "batch_stats": self.state.batch_stats})
+                     "batch_stats": self.state.batch_stats,
+                     "opt_state": self.state.opt_state,
+                     "step": int(self.state.step), "epoch": epoch})
             history.append(record)
             writer.record(record)
             writer.scalars(int(self.state.step),

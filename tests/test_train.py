@@ -95,3 +95,58 @@ class TestPretrain:
         best_valid = min(h["valid_rmse"] for h in result["history"])
         assert best_valid < base, (result, base)
         assert np.isfinite(result["test_metric"])
+
+
+class TestFullStateResume:
+    def test_resume_continues_step_epoch_and_optimizer(self, tmp_path):
+        from molclr_tpu.train.checkpoints import latest_checkpoint
+
+        base = dict(batch_size=32, warm_up=1, model=SMALL, aug="node",
+                    valid_size=0.1, seed=0, featurize_processes=0,
+                    eval_every_epochs=100)
+        smiles = synthetic_corpus(300, seed=2)
+
+        cfg1 = PretrainConfig(epochs=2, save_every_epochs=2,
+                              ckpt_dir=str(tmp_path / "a"), **base)
+        p1 = Pretrainer(cfg1).setup_data(smiles)
+        p1.setup_state(next(iter(p1.train_iter))[0])
+        p1.train(log=lambda *_: None)
+        steps_after_2 = int(p1.state.step)
+        ckpt = latest_checkpoint(cfg1.ckpt_dir)
+        assert ckpt is not None
+
+        cfg2 = PretrainConfig(epochs=4, save_every_epochs=100,
+                              ckpt_dir=str(tmp_path / "b"),
+                              resume_from=ckpt, **base)
+        p2 = Pretrainer(cfg2).setup_data(smiles)
+        p2.setup_state(next(iter(p2.train_iter))[0])
+        assert int(p2.state.step) == steps_after_2      # step continues
+        assert p2._start_epoch == 2                     # epoch continues
+        # Adam moments restored (non-zero after training)
+        import jax
+
+        mu_leaves = jax.tree_util.tree_leaves(p2.state.opt_state)
+        assert any(np.abs(np.asarray(x)).max() > 0 for x in mu_leaves)
+        hist = p2.train(log=lambda *_: None)
+        assert len(hist) == 2                           # epochs 2 and 3 only
+        assert int(p2.state.step) > steps_after_2
+
+    def test_weights_only_resume_still_works(self, tmp_path):
+        base = dict(batch_size=32, warm_up=1, model=SMALL, aug="node",
+                    valid_size=0.1, seed=0, featurize_processes=0,
+                    save_every_epochs=100)
+        smiles = synthetic_corpus(300, seed=2)
+        cfg1 = PretrainConfig(epochs=1, eval_every_epochs=1,
+                              ckpt_dir=str(tmp_path / "a"), **base)
+        p1 = Pretrainer(cfg1).setup_data(smiles)
+        p1.setup_state(next(iter(p1.train_iter))[0])
+        p1.train(log=lambda *_: None)
+        best = str(tmp_path / "a" / "best" / "step_0")  # weights-only ckpt
+
+        cfg2 = PretrainConfig(epochs=1, eval_every_epochs=100,
+                              ckpt_dir=str(tmp_path / "b"),
+                              resume_from=best, **base)
+        p2 = Pretrainer(cfg2).setup_data(smiles)
+        p2.setup_state(next(iter(p2.train_iter))[0])
+        assert int(p2.state.step) == 0                  # schedule restarts
+        assert p2._start_epoch == 0

@@ -100,7 +100,7 @@ def main() -> int:
 
     def loss_fn(params, batch_stats, rng):
         ra, ri, rj = jax.random.split(rng, 3)
-        vi, vj = paired_augment(batch, ra, args.aug)
+        vi, vj = paired_augment(batch, ra, args.aug, tile=args.tile)
         if args.concat:
             both = concat_views(vi, vj)
             (_, z), upd = model.apply(

@@ -107,9 +107,37 @@ def node_augment(batch, rng, node_frac: float = 0.25,
                          edge_mask=edge_mask, nbr_mask=nbr_mask)
 
 
-def _bfs_times(batch, start_flag, max_waves: int):
+def _bfs_times(batch, start_flag, max_waves: int, tile: int = 0):
     """Wave index at which each node is first reached from its graph's start
-    atom over the (current) ELL adjacency. Unreached nodes get _INF_TIME."""
+    atom over the (current) ELL adjacency. Unreached nodes get _INF_TIME.
+
+    tile > 0 (tile-aligned batches) runs the frontier expansion as batched
+    [T, tile, tile] @ [T, tile, 1] matmuls over the block-diagonal
+    adjacency instead of per-wave [N, K] gathers — the 32 sequential
+    gather waves were ~13 ms on v5e at B=512 vs ~0.5 ms for the matmul
+    form (each wave is one small MXU op reading the shared adjacency)."""
+    if tile:
+        from molclr_tpu.ops.tile_dense import build_tile_adjacency
+
+        adj = build_tile_adjacency(batch.nbr, batch.nbr_mask, tile,
+                                   dtype=jnp.bfloat16)
+        n = batch.num_nodes
+        t0 = jnp.where(start_flag, 0, _INF_TIME)
+
+        def body(k, carry):
+            t, f = carry
+            fb = f.astype(jnp.bfloat16).reshape(-1, tile, 1)
+            nxt = jax.lax.dot_general(
+                adj, fb, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32).reshape(n)
+            f_new = batch.node_mask & (nxt > 0)
+            t = jnp.where(f_new & (t == _INF_TIME), k + 1, t)
+            return t, f_new
+
+        t, _ = jax.lax.fori_loop(
+            0, max_waves, body, (t0, start_flag & batch.node_mask))
+        return t
+
     t0 = jnp.where(start_flag, 0, _INF_TIME)
 
     def body(_, t):
@@ -121,7 +149,7 @@ def _bfs_times(batch, start_flag, max_waves: int):
 
 
 def _subgraph_removal(batch, rng_s, rng_t, k_sub, max_waves: int,
-                      start_rank_slot):
+                      start_rank_slot, tile: int = 0):
     """Removed-node flags for wave-BFS removal of k_sub[g] atoms per graph.
     start_rank_slot selects which random-ranked node seeds the BFS; paired
     views share rng_s and use slots 0/1 so their start atoms are distinct
@@ -130,7 +158,7 @@ def _subgraph_removal(batch, rng_s, rng_t, k_sub, max_waves: int,
                                 batch.node_graph, batch.node_mask,
                                 batch.graph_n_nodes)
     start_flag = batch.node_mask & (start_rank == start_rank_slot)
-    t = _bfs_times(batch, start_flag, max_waves)
+    t = _bfs_times(batch, start_flag, max_waves, tile)
     # wave-ordered removal with random tie-break inside the final wave.
     # t is clipped to max_waves+1 before scaling: unreached nodes
     # (t=_INF_TIME) would otherwise overflow int32 and sort FIRST,
@@ -144,16 +172,18 @@ def _subgraph_removal(batch, rng_s, rng_t, k_sub, max_waves: int,
             & (rank < k_sub[batch.node_graph]))
 
 
-@partial(jax.jit, static_argnames=("frac", "max_waves", "start_rank_slot"))
+@partial(jax.jit, static_argnames=("frac", "max_waves", "start_rank_slot",
+                                   "tile"))
 def subgraph_augment(batch, rng, frac: float = 0.25, max_waves: int = 32,
-                     start_rank_slot: int = 0, start_rng=None):
+                     start_rank_slot: int = 0, start_rng=None,
+                     tile: int = 0):
     """BFS subgraph removal (ref dataset_subgraph.py:70-88,96-177)."""
     rng_s, rng_t = jax.random.split(rng)
     if start_rng is not None:
         rng_s = start_rng
     k_sub = jnp.floor(frac * batch.graph_n_nodes).astype(jnp.int32)
     removed = _subgraph_removal(batch, rng_s, rng_t, k_sub, max_waves,
-                                start_rank_slot)
+                                start_rank_slot, tile)
     atom_type, chirality = _mask_atoms(batch, removed)
     bsrc, bdst = _bond_endpoints(batch)
     rem = removed.astype(jnp.int32)  # int32 gathers (see _apply_bond_drop)
@@ -166,11 +196,11 @@ def subgraph_augment(batch, rng, frac: float = 0.25, max_waves: int = 32,
 
 @partial(jax.jit,
          static_argnames=("sub_frac_max", "node_frac", "bond_keep",
-                          "max_waves", "start_rank_slot"))
+                          "max_waves", "start_rank_slot", "tile"))
 def mix_augment(batch, rng, sub_frac_max: float = 0.2,
                 node_frac: float = 0.25, bond_keep: float = 0.75,
                 max_waves: int = 32, start_rank_slot: int = 0,
-                start_rng=None):
+                start_rng=None, tile: int = 0):
     """Subgraph removal + top-up masking/deletion (ref dataset_mix.py)."""
     rng_f, rng_s, rng_n, rng_b = jax.random.split(rng, 4)
     g = batch.num_graphs
@@ -181,7 +211,7 @@ def mix_augment(batch, rng, sub_frac_max: float = 0.2,
     if start_rng is not None:
         rng_ss = start_rng
     removed = _subgraph_removal(batch, rng_ss, rng_st, k_sub, max_waves,
-                                start_rank_slot)
+                                start_rank_slot, tile)
     n_removed = jax.ops.segment_sum(removed.astype(jnp.int32),
                                     batch.node_graph, num_segments=g)
 
@@ -222,11 +252,14 @@ node_augment = partial(jax.jit, static_argnames=("node_frac", "bond_frac"))(
     node_augment)
 
 
-def paired_augment(batch, rng, kind: str = "node", **kwargs):
+def paired_augment(batch, rng, kind: str = "node", tile: int = 0, **kwargs):
     """The two contrastive views of one base batch (ref returns (data_i,
     data_j) per molecule, dataset/dataset.py:147). BFS-based kinds use
-    distinct start atoms per view via start_rank_slot."""
+    distinct start atoms per view via start_rank_slot; pass tile > 0 for
+    tile-aligned batches to run BFS as block-diagonal matmuls."""
     rng_i, rng_j, rng_start = jax.random.split(rng, 3)
+    if kind != "node":
+        kwargs["tile"] = tile
     if kind == "node":
         return (node_augment(batch, rng_i, **kwargs),
                 node_augment(batch, rng_j, **kwargs))

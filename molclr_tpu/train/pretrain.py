@@ -136,7 +136,8 @@ class Pretrainer:
 
         def loss_fn(params, batch_stats, batch, rng):
             rng_aug, rng_di, rng_dj = jax.random.split(rng, 3)
-            vi, vj = paired_augment(batch, rng_aug, cfg.aug)
+            vi, vj = paired_augment(batch, rng_aug, cfg.aug,
+                                    tile=cfg.model.tile)
             if cfg.concat_views:
                 from molclr_tpu.data.graphs import concat_views
 
@@ -207,7 +208,8 @@ class Pretrainer:
                                 jnp.arange(n, dtype=jnp.int32))[1]
 
         def eval_step(state, batch, rng):
-            vi, vj = paired_augment(batch, rng, cfg.aug)
+            vi, vj = paired_augment(batch, rng, cfg.aug,
+                                    tile=cfg.model.tile)
             _, zi = model.apply({"params": state.params,
                                  "batch_stats": state.batch_stats}, vi,
                                 train=False)
@@ -232,7 +234,8 @@ class Pretrainer:
             self._dp_step = build_dp_pretrain_step(
                 model, self.tx, self.mesh, aug=cfg.aug,
                 temperature=cfg.temperature,
-                use_cosine=cfg.use_cosine_similarity, axis=cfg.data_axis)
+                use_cosine=cfg.use_cosine_similarity, axis=cfg.data_axis,
+                tile=cfg.model.tile)
             self._train_step = None
             self._multi_step = None
         else:

@@ -166,3 +166,41 @@ def test_pretrain_step_parity_through_augmentation():
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3), g0, g1)
+
+
+class TestTileBFS:
+    """Tile-matmul BFS must produce identical wave times / augmented views
+    to the gather-based BFS on tile-aligned batches."""
+
+    def test_bfs_times_identical(self):
+        from molclr_tpu.data.augment import _bfs_times
+
+        batch, _ = tiled_batch()
+        rng = jax.random.PRNGKey(9)
+        # one random start atom per graph
+        from molclr_tpu.data.augment import _rand_keys, _segment_ranks
+
+        ranks = _segment_ranks(_rand_keys(rng, batch.num_nodes),
+                               batch.node_graph, batch.node_mask,
+                               batch.graph_n_nodes)
+        start = batch.node_mask & (ranks == 0)
+        t_gather = np.asarray(_bfs_times(batch, start, 32, tile=0))
+        t_tile = np.asarray(_bfs_times(batch, start, 32, tile=TILE))
+        mask = np.asarray(batch.node_mask)
+        np.testing.assert_array_equal(t_gather[mask], t_tile[mask])
+
+    @pytest.mark.parametrize("kind", ["subgraph", "mix"])
+    def test_augmented_views_identical(self, kind):
+        from molclr_tpu.data.augment import paired_augment
+
+        batch, _ = tiled_batch()
+        rng = jax.random.PRNGKey(4)
+        vi0, vj0 = paired_augment(batch, rng, kind, tile=0)
+        vi1, vj1 = paired_augment(batch, rng, kind, tile=TILE)
+        for a, b in ((vi0, vi1), (vj0, vj1)):
+            np.testing.assert_array_equal(np.asarray(a.atom_type),
+                                          np.asarray(b.atom_type))
+            np.testing.assert_array_equal(np.asarray(a.nbr_mask),
+                                          np.asarray(b.nbr_mask))
+            np.testing.assert_array_equal(np.asarray(a.edge_mask),
+                                          np.asarray(b.edge_mask))

@@ -122,7 +122,7 @@ class FineTuner:
             self.iters[name] = BatchIterator(
                 [graphs[i] for i in ids], self.spec,
                 labels=lab[ids], shuffle=shuffle, drop_last=drop,
-                seed=cfg.seed)
+                seed=cfg.seed, cache_packed=True)
             if cfg.use_motifs:
                 self.split_motifs[name] = (
                     self.motif_vocab.mol_motifs[ids],
@@ -262,9 +262,57 @@ class FineTuner:
                                        batch, motifs, False)
             return pred.astype(jnp.float32)
 
+        def multi_train(state, stack, idxs, rng):
+            """Scan train steps over the device-resident split stack; only
+            the int32 index vector crosses the host boundary per epoch."""
+            def body(s, i):
+                b, lab, mi, mm = jax.tree_util.tree_map(lambda x: x[i],
+                                                        stack)
+                motifs = (mi, mm) if use_motifs else ()
+                return train_step(s, b, motifs, lab, rng)
+            return jax.lax.scan(body, state, idxs)
+
+        def multi_predict(state, stack):
+            n = jax.tree_util.tree_leaves(stack)[0].shape[0]
+
+            def body(_, i):
+                b, lab, mi, mm = jax.tree_util.tree_map(lambda x: x[i],
+                                                        stack)
+                motifs = (mi, mm) if use_motifs else ()
+                return None, (predict_step(state, b, motifs), b.graph_mask)
+            return jax.lax.scan(body, None,
+                                jnp.arange(n, dtype=jnp.int32))[1]
+
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._predict_step = jax.jit(predict_step)
+        self._multi_train = jax.jit(multi_train, donate_argnums=(0,))
+        self._multi_predict = jax.jit(multi_predict)
+        self._stacks = {}
         self._steps_built = True
+
+    def _split_stack(self, split: str):
+        """Device-resident (batches, labels, motif_ids, motif_mask) stack
+        for a split; built once from the packed-batch cache (fine-tune
+        datasets are small: the largest MoleculeNet split stacks to a few
+        hundred MB of HBM)."""
+        if split in self._stacks:
+            return self._stacks[split]
+        items = []
+        g = self.spec.n_graphs
+        for batch, lab, idx in self.iters[split]:
+            labp = np.zeros(g, np.float32)
+            if lab is not None:
+                labp[: len(lab)] = lab
+            if self.cfg.use_motifs:
+                mi, mm = self._batch_motifs(split, idx)
+            else:
+                mi = np.zeros((g, 1), np.int32)
+                mm = np.zeros((g, 1), bool)
+            items.append((batch, labp, mi, mm))
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs, axis=0), *items)
+        self._stacks[split] = jax.device_put(stacked)
+        return self._stacks[split]
 
     # ---- eval ----
     def _scores(self, pred: np.ndarray) -> np.ndarray:
@@ -280,16 +328,13 @@ class FineTuner:
 
     def evaluate(self, split: str, state=None) -> dict:
         state = state or self.state
-        preds, labels = [], []
-        for batch, lab, idx in self.iters[split]:
-            motifs = (self._batch_motifs(split, idx)
-                      if self.cfg.use_motifs else ())
-            p = np.asarray(self._predict_step(state, batch, motifs))
-            alive = np.asarray(batch.graph_mask)
-            preds.append(p[alive])
-            labels.append(np.asarray(lab)[: alive.sum()])
-        pred = np.concatenate(preds)
-        lab = np.concatenate(labels)
+        stack = self._split_stack(split)
+        preds_all, masks_all = self._multi_predict(state, stack)
+        preds_all = np.asarray(preds_all)       # [n_batches, G, out]
+        masks_all = np.asarray(masks_all)       # [n_batches, G]
+        labels_all = np.asarray(stack[1])       # [n_batches, G]
+        pred = preds_all[masks_all]
+        lab = labels_all[masks_all]
         scores = self._scores(pred)
         if self.task.task == "regression" and self.normalizer is not None:
             lab = self.normalizer.denorm(lab)
@@ -319,15 +364,14 @@ class FineTuner:
             lambda x: np.array(x, copy=True), jax.device_get(s))
         best_state = snapshot(self.state)
         history = []
+        train_stack = self._split_stack("train")
         for epoch in range(cfg.epochs):
             t0 = time.time()
-            losses = []
-            for batch, labels, idx in self.iters["train"]:
-                motifs = (self._batch_motifs("train", idx)
-                          if self.cfg.use_motifs else ())
-                self.state, loss = self._train_step(self.state, batch,
-                                                    motifs, labels, rng)
-                losses.append(float(loss))
+            order = self.iters["train"].cached_epoch_order()
+            self.state, loss_arr = self._multi_train(
+                self.state, train_stack,
+                jnp.asarray(order, dtype=jnp.int32), rng)
+            losses = [float(x) for x in np.asarray(loss_arr)]
             val = self.evaluate("valid")
             score = direction * val["metric"]
             if score > best or np.isnan(best):

@@ -21,6 +21,12 @@ def main(argv=None) -> int:
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--steps-per-dispatch", type=int, default=None,
                    help="train steps folded into one device dispatch")
+    p.add_argument("--resume", default=None, metavar="PATH|latest",
+                   help="resume from a checkpoint; 'latest' picks the "
+                        "newest full-state checkpoint in --ckpt-dir")
+    p.add_argument("--device-cache-mb", type=int, default=None,
+                   help="HBM budget for the resident batch cache "
+                        "(0 = keep batches host-side)")
     p.add_argument("--synthetic", type=int, default=0, metavar="N",
                    help="generate an N-molecule synthetic corpus if the "
                         "data path is missing")
@@ -52,6 +58,20 @@ def main(argv=None) -> int:
         cfg.ckpt_dir = args.ckpt_dir
     if args.steps_per_dispatch is not None:
         cfg.steps_per_dispatch = args.steps_per_dispatch
+    if args.device_cache_mb is not None:
+        cfg.device_cache_mb = args.device_cache_mb
+    if args.resume:
+        if args.resume == "latest":
+            from molclr_tpu.train.checkpoints import latest_checkpoint
+
+            latest = latest_checkpoint(cfg.ckpt_dir)
+            if latest is None:
+                print(f"no checkpoint under {cfg.ckpt_dir}; "
+                      "starting from scratch")
+            else:
+                cfg.resume_from = latest
+        else:
+            cfg.resume_from = args.resume
 
     if args.synthetic and not os.path.exists(cfg.data_path):
         from molclr_tpu.data.synthetic import write_pretrain_corpus

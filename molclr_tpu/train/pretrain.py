@@ -274,6 +274,23 @@ class Pretrainer:
                 f"lr {float(self.schedule(step)):.6f}")
         return losses
 
+    def _host_superbatches(self, s_fold: int):
+        """Generator of device-resident stacked superbatches (or a final
+        remainder list) for one epoch — runs inside the prefetch thread so
+        packing, stacking and the host->device transfer all overlap the
+        previous dispatch."""
+        pending = []
+        for batch, _, _ in self.train_iter:
+            pending.append(batch)
+            if len(pending) < s_fold:
+                continue
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs, axis=0), *pending)
+            yield jax.device_put(stacked)
+            pending = []
+        if pending:
+            yield pending
+
     def _log_step(self, log, epoch, losses, cfg):
         step = int(self.state.step)
         if losses and step % cfg.log_every_steps < len(losses):
@@ -359,7 +376,7 @@ class Pretrainer:
                         self.state, self._device_stack, idxs, rng)
                     losses.extend(float(x) for x in np.asarray(loss_arr))
                 self._log_step(log, epoch, losses, cfg)
-            else:
+            elif cfg.data_axis:
                 epoch_iter = (prefetch_iter(iter(self.train_iter),
                                             cfg.prefetch)
                               if cfg.prefetch else self.train_iter)
@@ -370,16 +387,27 @@ class Pretrainer:
                     losses.extend(self._dispatch(pending, rng, log, epoch,
                                                  cfg))
                     pending = []
-                if cfg.data_axis:
-                    # remainder smaller than one device-group is dropped
-                    # (drop_last at superbatch granularity)
-                    losses.extend(self._dispatch(pending, rng, log, epoch,
-                                                 cfg))
-                else:
-                    for batch in pending:  # epoch remainder, 1 per dispatch
-                        self.state, loss = self._train_step(self.state,
-                                                            batch, rng)
-                        losses.append(float(loss))
+                # remainder smaller than one device-group is dropped
+                # (drop_last at superbatch granularity)
+                losses.extend(self._dispatch(pending, rng, log, epoch, cfg))
+            else:
+                # host path (corpus exceeds the HBM cache budget or first
+                # epoch): the prefetch thread packs, STACKS and UPLOADS the
+                # next superbatch while the device runs the current one
+                sb = self._host_superbatches(s_fold)
+                sb_iter = (prefetch_iter(sb, cfg.prefetch) if cfg.prefetch
+                           else sb)
+                for item in sb_iter:
+                    if isinstance(item, list):   # epoch remainder
+                        for batch in item:
+                            self.state, loss = self._train_step(
+                                self.state, batch, rng)
+                            losses.append(float(loss))
+                        continue
+                    self.state, loss_arr = self._multi_step(self.state,
+                                                            item, rng)
+                    losses.extend(float(x) for x in np.asarray(loss_arr))
+                self._log_step(log, epoch, losses, cfg)
                 self._maybe_upload_cache(log)
             if profiler_active:
                 jax.block_until_ready(self.state.params)

@@ -55,8 +55,10 @@ def main(argv=None) -> int:
     model = MolCLRNet(gnn_type=args.model, num_layers=args.layers,
                       emb_dim=args.emb_dim, feat_dim=args.feat_dim,
                       tile=args.tile)
+    # sizing='max': embed packs SEQUENTIAL chunks (no shuffle, no
+    # drop-retry), so capacity must fit any batch_size-subset exactly
     spec = spec_for_graphs(graphs, min(args.batch_size, len(graphs)),
-                           tile=args.tile)
+                           tile=args.tile, sizing="max")
     example = pack_batch(graphs[: spec.n_graphs], spec)
     variables = model.init(jax.random.PRNGKey(0), example, train=False)
     params, stats = variables["params"], variables.get("batch_stats", {})

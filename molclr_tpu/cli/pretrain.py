@@ -73,12 +73,19 @@ def main(argv=None) -> int:
         else:
             cfg.resume_from = args.resume
 
-    if args.synthetic and not os.path.exists(cfg.data_path):
-        from molclr_tpu.data.synthetic import write_pretrain_corpus
+    if args.synthetic:
+        # size-keyed corpus path so different --synthetic N don't silently
+        # reuse a smaller cached corpus (unless --data names one explicitly)
+        if not args.data:
+            root, ext = os.path.splitext(cfg.data_path)
+            cfg.data_path = f"{root}_{args.synthetic}{ext}"
+        if not os.path.exists(cfg.data_path):
+            from molclr_tpu.data.synthetic import write_pretrain_corpus
 
-        print(f"generating synthetic corpus ({args.synthetic} molecules) "
-              f"-> {cfg.data_path}")
-        write_pretrain_corpus(cfg.data_path, args.synthetic, seed=cfg.seed)
+            print(f"generating synthetic corpus ({args.synthetic} "
+                  f"molecules) -> {cfg.data_path}")
+            write_pretrain_corpus(cfg.data_path, args.synthetic,
+                                  seed=cfg.seed)
 
     print(f"devices: {jax.devices()}")
     pre = Pretrainer(cfg).setup_data()

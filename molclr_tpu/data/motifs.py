@@ -96,7 +96,8 @@ def encode_motif_vocab(vocab: MotifVocab, model, variables,
         return out
     spec = spec_for_graphs(graphs, min(batch_size, len(graphs)),
                            max_degree=max_degree,
-                           tile=getattr(model, "tile", 0) or tile)
+                           tile=getattr(model, "tile", 0) or tile,
+                           sizing="max")
 
     @jax.jit
     def encode(batch):

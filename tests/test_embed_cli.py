@@ -1,0 +1,50 @@
+"""End-to-end test of the embedding/serving CLI (cli/embed.py): checkpoint
+-> SMILES file -> .npy embeddings + sidecar, on the CPU backend."""
+
+import numpy as np
+
+from molclr_tpu.data import featurize_smiles, pack_batch
+from molclr_tpu.data.loader import spec_for_graphs
+from molclr_tpu.data.synthetic import synthetic_corpus
+from molclr_tpu.models import MolCLRNet
+from molclr_tpu.train import checkpoints as ckpt_lib
+
+
+def test_embed_cli_end_to_end(tmp_path):
+    import jax
+
+    from molclr_tpu.cli.embed import main
+
+    smiles = synthetic_corpus(40, seed=21)
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("\n".join(smiles) + "\n")
+
+    # save a native checkpoint for a small architecture
+    model = MolCLRNet(num_layers=2, emb_dim=32, feat_dim=64, tile=16)
+    gs = [g for g in (featurize_smiles(s) for s in smiles[:8])
+          if g is not None]
+    spec = spec_for_graphs(gs, len(gs), tile=16, sizing="max")
+    variables = model.init(jax.random.PRNGKey(0), pack_batch(gs, spec),
+                           train=False)
+    ckpt = ckpt_lib.save_checkpoint(
+        str(tmp_path / "ckpt"), 0,
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})})
+
+    out = tmp_path / "emb.npy"
+    rc = main([str(corpus), str(out), "--checkpoint", ckpt,
+               "--layers", "2", "--emb-dim", "32", "--feat-dim", "64",
+               "--batch-size", "16", "--tile", "16"])
+    assert rc == 0
+    emb = np.load(out)
+    side = (tmp_path / "emb.smiles.txt").read_text().splitlines()
+    assert emb.shape[0] == len(side) > 0
+    assert emb.shape[1] == 64
+    assert np.isfinite(emb).all()
+    # embeddings are input-order aligned: re-encoding a single molecule
+    # through the model directly matches its CLI row
+    g0 = featurize_smiles(side[0])
+    b0 = pack_batch([g0], spec_for_graphs([g0], 16, tile=16, sizing="max"))
+    h, _ = model.apply(variables, b0, train=False)
+    np.testing.assert_allclose(emb[0], np.asarray(h)[0], rtol=1e-4,
+                               atol=1e-4)

@@ -233,3 +233,48 @@ class TestBrics:
             assert flat == list(range(m.num_atoms)), s
             for c1, c2 in edges:
                 assert 0 <= c1 < len(cliques) and 0 <= c2 < len(cliques)
+
+
+class TestCorpusFuzz:
+    """Corpus-scale robustness: every synthetic-corpus SMILES must parse,
+    canonicalize to a fixpoint, keep its formula through the round-trip,
+    and keep its perceived aromaticity stable."""
+
+    def test_canonical_fixpoint_and_formula(self):
+        from molclr_tpu.chem import canonical_smiles, parse_smiles
+        from molclr_tpu.chem.mol import mol_formula
+        from molclr_tpu.data.synthetic import synthetic_corpus
+
+        for s in synthetic_corpus(500, seed=99):
+            mol = parse_smiles(s, strict=False)
+            assert mol is not None, s
+            c1 = canonical_smiles(mol)
+            mol2 = parse_smiles(c1, strict=False)
+            assert mol2 is not None, (s, c1)
+            assert canonical_smiles(mol2) == c1, s
+            assert mol_formula(mol2) == mol_formula(mol), s
+            arom1 = sum(a.is_aromatic for a in mol.atoms)
+            arom2 = sum(a.is_aromatic for a in mol2.atoms)
+            assert arom1 == arom2, (s, c1)
+
+    def test_mutated_strings_never_crash(self):
+        import random as pyrandom
+
+        from molclr_tpu.chem import parse_smiles
+        from molclr_tpu.data.synthetic import synthetic_corpus
+
+        rng = pyrandom.Random(3)
+        junk = "()[]=#1234cCnNoO@+-/\\%."
+        for s in synthetic_corpus(200, seed=5):
+            chars = list(s)
+            for _ in range(3):
+                op = rng.randrange(3)
+                pos = rng.randrange(len(chars)) if chars else 0
+                if op == 0 and chars:
+                    chars[pos] = rng.choice(junk)
+                elif op == 1:
+                    chars.insert(pos, rng.choice(junk))
+                elif op == 2 and chars:
+                    chars.pop(pos)
+            # must return a Mol or None — never raise
+            parse_smiles("".join(chars), strict=False)

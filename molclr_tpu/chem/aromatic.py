@@ -50,9 +50,15 @@ _PI_DONORS_2 = {"O", "S", "Se", "Te"}
 _ELECTRONEG_EXO = {"O", "N", "S"}
 
 
+MAX_AROMATIC_RING = 20  # must match MAX_RING in native/featurizer.cpp:
+                        # rings beyond this stay Kekulé in BOTH featurizers
+                        # (documented divergence from RDKit for 4n+2
+                        # macrocycles like [22]annulene)
+
+
 def perceive_aromaticity(mol: Mol) -> Mol:
     """Aromatize qualifying rings in place (returns mol for chaining)."""
-    rings = [r for r in mol.sssr() if len(r) >= 3]
+    rings = [r for r in mol.sssr() if 3 <= len(r) <= MAX_AROMATIC_RING]
     if not rings:
         return mol
 

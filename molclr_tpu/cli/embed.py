@@ -48,6 +48,14 @@ def main(argv=None) -> int:
 
     smiles = read_pretrain_smiles(args.input)
     graphs, kept = featurize_many(smiles)
+    if args.tile:
+        over = [i for g, i in zip(graphs, kept) if g.n_atoms > args.tile]
+        if over:
+            print(f"skipping {len(over)} molecules larger than the "
+                  f"{args.tile}-atom tile (e.g. input row {over[0]})")
+            graphs, kept = zip(*[(g, i) for g, i in zip(graphs, kept)
+                                 if g.n_atoms <= args.tile])
+            graphs, kept = list(graphs), list(kept)
     if not graphs:
         p.error("no featurizable molecules in input")
     print(f"{len(graphs)}/{len(smiles)} molecules featurized")

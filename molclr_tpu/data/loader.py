@@ -107,8 +107,13 @@ def spec_for_graphs(graphs: list[MolGraph], batch_size: int,
     concentrate sharply (CLT), so this typically halves the padded node
     count (and therefore per-step compute) vs the worst-case sizing, at an
     overflow probability far below 1e-5 per batch; BatchIterator's
-    drop-largest fallback absorbs the tail. sizing='max' restores the
-    worst-case batch*max(quantile) sizing (every random batch fits).
+    drop-largest fallback absorbs the tail. In this mode `slack` is capped
+    at 1.05 (the sigma margin already provides headroom) and `quantile` is
+    unused. sizing='max' restores the worst-case batch*max(quantile)
+    sizing: EVERY batch_size-subset fits in ANY order — with tile packing
+    this accounts for first-fit fragmentation exactly
+    (ceil(batch / floor(tile / max_atoms)) tiles), so sequential
+    no-retry packers (cli/embed.py) can rely on it.
 
     max_degree acts as a CAP: the spec uses the corpus's actual maximum
     degree when smaller, shrinking the ELL slot count K (every slot costs a
@@ -138,11 +143,23 @@ def spec_for_graphs(graphs: list[MolGraph], batch_size: int,
     n_nodes = capacity(atoms)
     n_edges = -(-capacity(edges) // 2) * 2
     if tile:
-        # fragmentation headroom: ~ mean molecule size per tile boundary
-        mean_atoms = float(atoms.mean())
-        est_tiles = max(1, -(-n_nodes // tile))
-        n_nodes += int(np.ceil(est_tiles * mean_atoms * 0.75))
-        n_nodes = -(-max(n_nodes, 8) // tile) * tile
+        max_atoms = int(atoms.max())
+        if max_atoms > tile:
+            raise ValueError(
+                f"corpus has a {max_atoms}-atom molecule > tile {tile}; "
+                f"filter oversize molecules (e.g. featurize_many(max_atoms="
+                f"tile)) or raise the tile size")
+        if sizing == "max":
+            # exact worst case under first-fit: every tile holds at least
+            # floor(tile / max_atoms) molecules regardless of order
+            per_tile = max(1, tile // max_atoms)
+            n_nodes = (-(-batch_size // per_tile)) * tile
+        else:
+            # fragmentation headroom: ~ mean molecule size per boundary
+            mean_atoms = float(atoms.mean())
+            est_tiles = max(1, -(-n_nodes // tile))
+            n_nodes += int(np.ceil(est_tiles * mean_atoms * 0.75))
+            n_nodes = -(-max(n_nodes, 8) // tile) * tile
         return PadSpec(batch_size, n_nodes, max(n_edges, 8), max_degree,
                        tile)
     return PadSpec(batch_size, max(n_nodes, 8), max(n_edges, 8), max_degree)
@@ -211,6 +228,11 @@ class BatchIterator:
         cache_packed=True)."""
         return self._cache
 
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the shuffle stream to `epoch` (resume support: epoch
+        shuffles are seeded by seed + epoch counter)."""
+        self._epoch = int(epoch)
+
     def cached_epoch_order(self):
         """Batch-index permutation for the next epoch over the cache,
         advancing the epoch counter (same stream as __iter__ would use).
@@ -252,28 +274,46 @@ class BatchIterator:
 def prefetch_iter(it, depth: int = 2):
     """Run an iterator in a background thread with a bounded queue so host
     packing overlaps device execution (the double-buffered host pipeline;
-    the reference overlaps via DataLoader workers, config.yaml:25)."""
+    the reference overlaps via DataLoader workers, config.yaml:25).
+
+    Abandoning the consumer early (exception mid-epoch, generator close)
+    stops the worker promptly: puts use a timeout and re-check a stop flag,
+    so the thread never wedges holding packed/device buffers."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     _END = object()
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in it:
-                q.put(item)
-            q.put(_END)
+                if not put(item):
+                    return
+            put(_END)
         except BaseException as e:  # surface errors in the consumer
-            q.put(e)
+            put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
-    t.join()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()
+    finally:
+        stop.set()

@@ -133,7 +133,12 @@ class GINEConv(nn.Module):
         nbr_mask = batch.nbr_mask if aug_nbr_mask is None else aug_nbr_mask
         if adj is not None:
             # tile-dense path: block-diagonal adjacency matmul on the MXU
-            # (A precomputed once per view by the trunk, ops/tile_dense.py)
+            # (A precomputed once per view by the trunk, ops/tile_dense.py).
+            # adj was built from batch.nbr_mask, so a different
+            # aug_nbr_mask would silently disagree with it:
+            assert aug_nbr_mask is None, \
+                "adj is precomputed from batch.nbr_mask; bake augmentation" \
+                " into the batch (batch.replace(nbr_mask=...)) instead"
             agg = gine_tile_aggregate(
                 h, e1.astype(h.dtype), e2.astype(h.dtype), adj,
                 batch.nbr_bond_type, batch.nbr_bond_dir, nbr_mask)
@@ -185,9 +190,13 @@ class GCNConv(nn.Module):
             # adjoint of gcn_aggregate stays valid
             norm = jnp.take(dis, batch.nbr, axis=0) * dis[:, None]  # [N,K]
         if adj is not None:
-            # tile-dense path; when normalizing, the trunk scales adj by
-            # dis_i * dis_j (symmetric), so only the scalar edge counts need
-            # norm here
+            assert aug_nbr_mask is None, \
+                "adj is precomputed from batch.nbr_mask; bake augmentation" \
+                " into the batch (batch.replace(nbr_mask=...)) instead"
+            # tile-dense path; when normalizing, scale adj by the symmetric
+            # dis_i * dis_j here (recomputed per layer from the same mask —
+            # XLA CSE dedups the identical subexpression across layers), and
+            # weight the scalar edge counts by the same norm
             if self.normalize:
                 tile = adj.shape[-1]
                 dis_b = dis.reshape(-1, tile)

@@ -45,8 +45,11 @@ class PretrainConfig:
     valid_size: float = 0.05        # config.yaml:26
     model: ModelConfig = field(default_factory=ModelConfig)
     max_degree: int = 6
-    pad_quantile: float = 1.0
-    pad_slack: float = 1.1
+    pad_sizing: str = "total"       # 'total' (statistical batch totals,
+                                    # ~2x less padding) | 'max' (worst
+                                    # case; pad_quantile/pad_slack apply)
+    pad_quantile: float = 1.0       # only used with pad_sizing='max'
+    pad_slack: float = 1.1          # capped at 1.05 under pad_sizing='total'
     eval_every_epochs: int = 1
     save_every_epochs: int = 5      # molclr.py:142-143
     log_every_steps: int = 50       # molclr.py:116
@@ -103,6 +106,13 @@ class FineTuneConfig:
     seed: int = 0
     ckpt_dir: str = "runs/finetune"
     synthetic_n: int = 2000         # rows when auto-generating missing CSVs
+    repack_each_epoch: bool = True  # re-shuffle batch COMPOSITIONS per epoch
+                                    # (reference DataLoader semantics;
+                                    # fine-tuning has no on-device
+                                    # augmentation to restore stochasticity,
+                                    # unlike pretraining). False freezes
+                                    # compositions after epoch 0 and skips
+                                    # the per-epoch repack + upload.
     log_every_steps: int = 50
     tensorboard: bool = False       # also write TB scalars into ckpt_dir
 

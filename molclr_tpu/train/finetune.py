@@ -122,7 +122,8 @@ class FineTuner:
             self.iters[name] = BatchIterator(
                 [graphs[i] for i in ids], self.spec,
                 labels=lab[ids], shuffle=shuffle, drop_last=drop,
-                seed=cfg.seed, cache_packed=True)
+                seed=cfg.seed,
+                cache_packed=not (shuffle and cfg.repack_each_epoch))
             if cfg.use_motifs:
                 self.split_motifs[name] = (
                     self.motif_vocab.mol_motifs[ids],
@@ -290,14 +291,13 @@ class FineTuner:
         self._stacks = {}
         self._steps_built = True
 
-    def _split_stack(self, split: str):
-        """Device-resident (batches, labels, motif_ids, motif_mask) stack
-        for a split; built once from the packed-batch cache (fine-tune
-        datasets are small: the largest MoleculeNet split stacks to a few
-        hundred MB of HBM)."""
-        if split in self._stacks:
-            return self._stacks[split]
-        items = []
+    def _stack_items(self, items):
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs, axis=0), *items)
+        return jax.device_put(stacked)
+
+    def _epoch_items(self, split: str):
+        out = []
         g = self.spec.n_graphs
         for batch, lab, idx in self.iters[split]:
             labp = np.zeros(g, np.float32)
@@ -308,10 +308,28 @@ class FineTuner:
             else:
                 mi = np.zeros((g, 1), np.int32)
                 mm = np.zeros((g, 1), bool)
-            items.append((batch, labp, mi, mm))
-        stacked = jax.tree_util.tree_map(
-            lambda *xs: np.stack(xs, axis=0), *items)
-        self._stacks[split] = jax.device_put(stacked)
+            out.append((batch, labp, mi, mm))
+        return out
+
+    def _train_epoch_stack(self):
+        """(stack, order) for one training epoch. repack_each_epoch
+        re-shuffles batch compositions on the host (reference DataLoader
+        semantics) and uploads a fresh stack; otherwise compositions are
+        frozen after epoch 0 and only the order vector changes."""
+        if self.cfg.repack_each_epoch:
+            items = self._epoch_items("train")
+            return self._stack_items(items), np.arange(len(items))
+        stack = self._split_stack("train")
+        return stack, self.iters["train"].cached_epoch_order()
+
+    def _split_stack(self, split: str):
+        """Device-resident (batches, labels, motif_ids, motif_mask) stack
+        for a split; built once from the packed-batch cache (fine-tune
+        datasets are small: the largest MoleculeNet split stacks to a few
+        hundred MB of HBM)."""
+        if split in self._stacks:
+            return self._stacks[split]
+        self._stacks[split] = self._stack_items(self._epoch_items(split))
         return self._stacks[split]
 
     # ---- eval ----
@@ -364,10 +382,9 @@ class FineTuner:
             lambda x: np.array(x, copy=True), jax.device_get(s))
         best_state = snapshot(self.state)
         history = []
-        train_stack = self._split_stack("train")
         for epoch in range(cfg.epochs):
             t0 = time.time()
-            order = self.iters["train"].cached_epoch_order()
+            train_stack, order = self._train_epoch_stack()
             self.state, loss_arr = self._multi_train(
                 self.state, train_stack,
                 jnp.asarray(order, dtype=jnp.int32), rng)

@@ -63,7 +63,8 @@ class Pretrainer:
         valid_ids, train_ids = order[:n_valid], order[n_valid:]
         self.spec = spec_for_graphs(graphs, cfg.batch_size, cfg.max_degree,
                                     cfg.pad_slack, cfg.pad_quantile,
-                                    tile=cfg.model.tile)
+                                    tile=cfg.model.tile,
+                                    sizing=cfg.pad_sizing)
         self.train_iter = BatchIterator(
             [graphs[i] for i in train_ids], self.spec, shuffle=True,
             drop_last=True, seed=cfg.seed,
@@ -106,6 +107,11 @@ class Pretrainer:
                                     opt_state=full["opt_state"],
                                     step=int(full["step"]))
             self._start_epoch = int(full["epoch"]) + 1
+            # continue the data stream too: epoch shuffles are seeded by
+            # (seed + epoch counter), so advance the iterators past the
+            # epochs the original run already consumed
+            self.train_iter.set_epoch(self._start_epoch)
+            self.valid_iter.set_epoch(self._start_epoch)
         return self
 
     def _resume(self, params, stats):
@@ -125,7 +131,11 @@ class Pretrainer:
                 "opt_state": self.tx.init(params),
                 "step": 0, "epoch": 0})
             return full["params"], full["batch_stats"], full
-        except Exception:
+        except Exception as e:
+            print(f"WARNING: full-state restore from {path} failed "
+                  f"({type(e).__name__}: {e}); falling back to "
+                  f"weights-only — optimizer moments, step count and the "
+                  f"LR schedule RESTART from zero")
             restored = ckpt_lib.load_checkpoint(
                 path, {"params": params, "batch_stats": stats})
             return restored["params"], restored["batch_stats"], None
@@ -247,6 +257,7 @@ class Pretrainer:
         self._eval_multi = jax.jit(eval_multi)
         self._eval_stack = None
         self._device_stack = None
+        self._device_cache_used_mb = 0.0
 
     # ---- loops ----
     def _dispatch(self, batches, rng, log, epoch, cfg):
@@ -311,10 +322,11 @@ class Pretrainer:
         per = sum(np.asarray(x).nbytes
                   for x in jax.tree_util.tree_leaves(batches[0]))
         total_mb = per * len(batches) / 2**20
-        if total_mb > cfg.device_cache_mb:
+        if self._device_cache_used_mb + total_mb > cfg.device_cache_mb:
             log(f"packed-batch cache {total_mb:.0f} MB exceeds "
                 f"device_cache_mb={cfg.device_cache_mb}; staying host-side")
             return
+        self._device_cache_used_mb += total_mb
         stacked = jax.tree_util.tree_map(
             lambda *xs: np.stack(xs, axis=0), *batches)
         self._device_stack = jax.device_put(stacked)
@@ -335,6 +347,14 @@ class Pretrainer:
         cache = getattr(self.valid_iter, "cache", None)
         if (cache and not self.cfg.data_axis and self.cfg.device_cache_mb
                 and self._eval_stack is None):
+            per = sum(np.asarray(x).nbytes
+                      for x in jax.tree_util.tree_leaves(cache[0][0]))
+            total_mb = per * len(cache) / 2**20
+            over = (self._device_cache_used_mb + total_mb
+                    > self.cfg.device_cache_mb)
+            if over:
+                return float(np.mean(losses)) if losses else float("nan")
+            self._device_cache_used_mb += total_mb
             stacked = jax.tree_util.tree_map(
                 lambda *xs: np.stack(xs, axis=0),
                 *[gb for gb, _, _ in cache])

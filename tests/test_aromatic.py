@@ -96,3 +96,25 @@ def test_native_parity_on_kekule_inputs():
                       "bond_type", "bond_dir"):
                 np.testing.assert_array_equal(
                     getattr(py, f), getattr(nat, f), err_msg=f"{s} {f}")
+
+
+def test_macrocycle_stays_kekule_in_both_featurizers():
+    """Rings beyond MAX_AROMATIC_RING (= native MAX_RING) stay Kekulé in
+    BOTH the Python and C++ featurizers — the cap exists for parity."""
+    from molclr_tpu.chem.mol import BondType
+
+    n = 22  # [22]annulene: 4n+2 with n=5, ring size 22 > cap 20
+    ring = "C1=C" + "C=C" * ((n - 2) // 2) + "1"
+    mol = parse_smiles(ring)
+    assert not any(a.is_aromatic for a in mol.atoms)
+    assert not any(b.bond_type == BondType.AROMATIC for b in mol.bonds)
+
+    from molclr_tpu import native
+
+    if native.native_available():
+        from molclr_tpu.data.featurize import featurize_smiles
+
+        py = featurize_smiles(ring)
+        out = native.featurize_corpus_native([ring])
+        assert out is not None and len(out[0]) == 1
+        np.testing.assert_array_equal(py.bond_type, out[0][0].bond_type)

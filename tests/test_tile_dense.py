@@ -204,3 +204,22 @@ class TestTileBFS:
                                           np.asarray(b.nbr_mask))
             np.testing.assert_array_equal(np.asarray(a.edge_mask),
                                           np.asarray(b.edge_mask))
+
+
+@pytest.mark.parametrize("kind", ["node", "subgraph", "mix"])
+def test_tile_ranks_give_identical_augmentations(kind):
+    """Compare-count node ranking (tile fast path) must reproduce the
+    lexsort path bit-for-bit across all augmentation kinds."""
+    from molclr_tpu.data.augment import paired_augment
+
+    batch, _ = tiled_batch()
+    rng = jax.random.PRNGKey(11)
+    a0 = paired_augment(batch, rng, kind, tile=0)
+    a1 = paired_augment(batch, rng, kind, tile=TILE)
+    for v0, v1 in zip(a0, a1):
+        np.testing.assert_array_equal(np.asarray(v0.atom_type),
+                                      np.asarray(v1.atom_type))
+        np.testing.assert_array_equal(np.asarray(v0.nbr_mask),
+                                      np.asarray(v1.nbr_mask))
+        np.testing.assert_array_equal(np.asarray(v0.edge_mask),
+                                      np.asarray(v1.edge_mask))

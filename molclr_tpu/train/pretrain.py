@@ -375,6 +375,12 @@ class Pretrainer:
         best_val = float("inf")
         history = []
         s_fold = max(1, cfg.steps_per_dispatch)
+        if cfg.data_axis:
+            # DP dispatches consume device-count groups: round the fold up
+            # to a mesh multiple or an under-full group would never
+            # dispatch (silently dropping every batch)
+            n_dev = self.mesh.shape[cfg.data_axis]
+            s_fold = n_dev * max(1, -(-s_fold // n_dev))
         profiler_active = False
         if cfg.profile_dir:
             jax.profiler.start_trace(cfg.profile_dir)

@@ -21,6 +21,9 @@ def main(argv=None) -> int:
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--steps-per-dispatch", type=int, default=None,
                    help="train steps folded into one device dispatch")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of epoch 0's first "
+                        "dispatches here")
     p.add_argument("--resume", default=None, metavar="PATH|latest",
                    help="resume from a checkpoint; 'latest' picks the "
                         "newest full-state checkpoint in --ckpt-dir")
@@ -60,6 +63,8 @@ def main(argv=None) -> int:
         cfg.steps_per_dispatch = args.steps_per_dispatch
     if args.device_cache_mb is not None:
         cfg.device_cache_mb = args.device_cache_mb
+    if args.profile_dir:
+        cfg.profile_dir = args.profile_dir
     if args.resume:
         if args.resume == "latest":
             from molclr_tpu.train.checkpoints import latest_checkpoint

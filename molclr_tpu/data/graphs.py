@@ -174,12 +174,24 @@ def concat_views(a: GraphBatch, b: GraphBatch) -> GraphBatch:
     )
 
 
-def pack_batch(graphs: list[MolGraph], spec: PadSpec) -> GraphBatch:
+def pack_batch(graphs: list[MolGraph], spec: PadSpec,
+               prefer_native: bool = True) -> GraphBatch:
     """Pack molecules into one padded GraphBatch.
 
     Raises PackOverflow if the molecules exceed the bucket's node/edge/graph
     capacity or a node exceeds max_degree (callers pre-filter via
-    MolGraph.max_degree; PubChem organic molecules rarely exceed degree 6)."""
+    MolGraph.max_degree; PubChem organic molecules rarely exceed degree 6).
+
+    Uses the native C packer when available (~10x; exact parity pinned by
+    tests/test_native.py); prefer_native=False forces this Python
+    implementation (the semantic source of truth)."""
+    if prefer_native and graphs:
+        from molclr_tpu import native
+
+        if native.native_available():
+            out = native.pack_batch_native(graphs, spec)
+            if out is not None:
+                return out
     if len(graphs) > spec.n_graphs:
         raise PackOverflow(f"{len(graphs)} graphs > capacity {spec.n_graphs}")
     total_nodes = sum(g.n_atoms for g in graphs)

@@ -682,4 +682,123 @@ int mtpu_featurize_batch(const char* buffer, int64_t buf_len, int add_hs,
   return n_ok;
 }
 
+// Pack a batch of featurized molecules into one padded flat graph —
+// native port of molclr_tpu/data/graphs.py pack_batch (the semantic
+// source of truth; exact parity pinned by tests/test_native.py).
+//
+// Inputs are CONCATENATED per-molecule featurization arrays with offset
+// tables (atom_off/edge_off, length n_mols+1), as produced by
+// mtpu_featurize_batch. `tile` > 0 enforces tile-aligned placement.
+// Outputs must be sized to the spec by the caller; this function fills
+// every element (padding included).
+//
+// Returns 0 on success; (1 + gi) if molecule gi overflows node/edge/tile
+// capacity (caller drops a molecule and retries, mirroring
+// BatchIterator); -1 if a node's degree exceeds ell_slots - 1.
+int mtpu_pack_batch(
+    const int32_t* atom_type, const int32_t* chirality,
+    const int64_t* atom_off,
+    const int32_t* edge_src, const int32_t* edge_dst,
+    const int32_t* bond_type, const int32_t* bond_dir,
+    const int64_t* edge_off, int32_t n_mols,
+    int32_t cap_nodes, int32_t cap_edges, int32_t ell_slots, int32_t tile,
+    int32_t* o_atom_type, int32_t* o_chirality, int32_t* o_node_graph,
+    uint8_t* o_node_mask,
+    int32_t* o_src, int32_t* o_dst, int32_t* o_bond_type,
+    int32_t* o_bond_dir, int32_t* o_edge_bond, uint8_t* o_edge_mask,
+    int32_t* o_nbr, int32_t* o_nbr_bt, int32_t* o_nbr_bd,
+    int32_t* o_nbr_bond, uint8_t* o_nbr_mask,
+    int32_t* o_bond_graph, uint8_t* o_bond_mask,
+    uint8_t* o_graph_mask, int32_t* o_graph_n_nodes,
+    int32_t* o_graph_n_bonds, int32_t cap_graphs) {
+  const int32_t cap_bonds = cap_edges / 2;
+  const int32_t K = ell_slots;
+  if (cap_nodes > (1 << 20)) return -2;  // slot-counter capacity
+  if (n_mols > cap_graphs) return 1 + cap_graphs;
+
+  // padding defaults (graphs.py:26-29: zeros, masks false, sentinel bond)
+  for (int32_t i = 0; i < cap_nodes; ++i) {
+    o_atom_type[i] = 0; o_chirality[i] = 0; o_node_graph[i] = 0;
+    o_node_mask[i] = 0;
+    for (int32_t k = 0; k < K; ++k) {
+      o_nbr[(int64_t)i * K + k] = 0;
+      o_nbr_bt[(int64_t)i * K + k] = 0;
+      o_nbr_bd[(int64_t)i * K + k] = 0;
+      o_nbr_bond[(int64_t)i * K + k] = cap_bonds;
+      o_nbr_mask[(int64_t)i * K + k] = 0;
+    }
+  }
+  for (int32_t e = 0; e < cap_edges; ++e) {
+    o_src[e] = 0; o_dst[e] = 0; o_bond_type[e] = 0; o_bond_dir[e] = 0;
+    o_edge_bond[e] = cap_bonds; o_edge_mask[e] = 0;
+  }
+  for (int32_t b = 0; b < cap_bonds; ++b) {
+    o_bond_graph[b] = 0; o_bond_mask[b] = 0;
+  }
+  for (int32_t g = 0; g < cap_graphs; ++g) {
+    o_graph_mask[g] = 0; o_graph_n_nodes[g] = 0; o_graph_n_bonds[g] = 0;
+  }
+
+  int32_t node_off = 0, eoff_out = 0, bond_off = 0;
+  // per-atom ELL fill counters (slot 0 = self-loop)
+  static thread_local int16_t slot_cnt[1 << 20];
+  for (int32_t gi = 0; gi < n_mols; ++gi) {
+    const int64_t a0 = atom_off[gi], a1 = atom_off[gi + 1];
+    const int64_t e0 = edge_off[gi], e1 = edge_off[gi + 1];
+    const int32_t n = (int32_t)(a1 - a0);
+    const int32_t e = (int32_t)(e1 - e0);
+    if (tile > 0) {
+      if (n > tile) return 1 + gi;
+      int32_t used = node_off % tile;
+      if (used && used + n > tile) node_off += tile - used;
+    }
+    if (node_off + n > cap_nodes || eoff_out + e > cap_edges) return 1 + gi;
+
+    for (int32_t i = 0; i < n; ++i) {
+      const int32_t row = node_off + i;
+      o_atom_type[row] = atom_type[a0 + i];
+      o_chirality[row] = chirality[a0 + i];
+      o_node_graph[row] = gi;
+      o_node_mask[row] = 1;
+      // self-loop slot 0 (graphs.py: SELF_LOOP_BOND_TYPE = 4, dir 0)
+      o_nbr[(int64_t)row * K] = row;
+      o_nbr_bt[(int64_t)row * K] = 4;
+      o_nbr_bd[(int64_t)row * K] = 0;
+      o_nbr_mask[(int64_t)row * K] = 1;
+      slot_cnt[row] = 1;
+    }
+    for (int32_t j = 0; j < e; ++j) {
+      const int32_t row = eoff_out + j;
+      const int32_t s = edge_src[e0 + j] + node_off;
+      const int32_t d = edge_dst[e0 + j] + node_off;
+      o_src[row] = s;
+      o_dst[row] = d;
+      o_bond_type[row] = bond_type[e0 + j];
+      o_bond_dir[row] = bond_dir[e0 + j];
+      o_edge_bond[row] = bond_off + j / 2;
+      o_edge_mask[row] = 1;
+      // ELL: iterate edges in order == stable sort by dst within runs, so
+      // slot order matches graphs.py's argsort(kind='stable') assignment
+      const int32_t slot = slot_cnt[d]++;
+      if (slot >= K) return -1;
+      o_nbr[(int64_t)d * K + slot] = s;
+      o_nbr_bt[(int64_t)d * K + slot] = bond_type[e0 + j];
+      o_nbr_bd[(int64_t)d * K + slot] = bond_dir[e0 + j];
+      o_nbr_bond[(int64_t)d * K + slot] = bond_off + j / 2;
+      o_nbr_mask[(int64_t)d * K + slot] = 1;
+    }
+    for (int32_t b = 0; b < e / 2; ++b) {
+      o_bond_graph[bond_off + b] = gi;
+      o_bond_mask[bond_off + b] = 1;
+    }
+    o_graph_mask[gi] = 1;
+    o_graph_n_nodes[gi] = n;
+    o_graph_n_bonds[gi] = e / 2;
+    node_off += n;
+    eoff_out += e;
+    bond_off += e / 2;
+  }
+  return 0;
+}
+
 }  // extern "C"

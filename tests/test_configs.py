@@ -85,3 +85,21 @@ class TestYamlConfigs:
         assert fc.task_name == "BBBP" and fc.init_base_lr == 1e-4
         assert fc.model.drop_ratio == 0.3
         assert fc.splitting == "scaffold"
+
+
+class TestMetricWriter:
+    def test_jsonl_and_tensorboard_files(self, tmp_path):
+        from molclr_tpu.train.logging_util import MetricWriter
+
+        w = MetricWriter(str(tmp_path), tensorboard=True)
+        w.record({"epoch": 0, "train_loss": 1.5})
+        w.scalars(0, train_loss=1.5, cosine_lr_decay=5e-4,
+                  validation_loss=float("nan"))  # NaN must be skipped
+        w.close()
+        import json
+
+        lines = (tmp_path / "metrics.jsonl").read_text().splitlines()
+        assert json.loads(lines[0])["train_loss"] == 1.5
+        tb = [f for f in tmp_path.iterdir()
+              if "tfevents" in f.name]
+        assert tb, "no TensorBoard event file written"

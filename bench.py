@@ -39,8 +39,8 @@ def main() -> int:
     p.add_argument("--emb-dim", type=int, default=300)
     p.add_argument("--dtype", choices=["bf16", "fp32"], default="bf16")
     p.add_argument("--aug", default="node")
-    p.add_argument("--k1", type=int, default=8)
-    p.add_argument("--k2", type=int, default=40)
+    p.add_argument("--k1", type=int, default=16)
+    p.add_argument("--k2", type=int, default=96)
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--tile", type=int, default=256,

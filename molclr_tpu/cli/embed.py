@@ -53,9 +53,10 @@ def main(argv=None) -> int:
         if over:
             print(f"skipping {len(over)} molecules larger than the "
                   f"{args.tile}-atom tile (e.g. input row {over[0]})")
-            graphs, kept = zip(*[(g, i) for g, i in zip(graphs, kept)
-                                 if g.n_atoms <= args.tile])
-            graphs, kept = list(graphs), list(kept)
+            keep = [(g, i) for g, i in zip(graphs, kept)
+                    if g.n_atoms <= args.tile]
+            graphs = [g for g, _ in keep]
+            kept = [i for _, i in keep]
     if not graphs:
         p.error("no featurizable molecules in input")
     print(f"{len(graphs)}/{len(smiles)} molecules featurized")

@@ -147,8 +147,8 @@ def spec_for_graphs(graphs: list[MolGraph], batch_size: int,
         if max_atoms > tile:
             raise ValueError(
                 f"corpus has a {max_atoms}-atom molecule > tile {tile}; "
-                f"filter oversize molecules (e.g. featurize_many(max_atoms="
-                f"tile)) or raise the tile size")
+                f"filter molecules with n_atoms > tile before building the "
+                f"spec (as cli/embed.py does) or raise the tile size")
         if sizing == "max":
             # exact worst case under first-fit: every tile holds at least
             # floor(tile / max_atoms) molecules regardless of order
@@ -211,6 +211,7 @@ class BatchIterator:
             idx = order[lo : lo + self.batch_size]
             batch_graphs = [self.graphs[i] for i in idx]
             idx = list(idx)
+            dropped = 0
             while True:
                 try:
                     gb = pack_batch(batch_graphs, self.spec)
@@ -219,6 +220,14 @@ class BatchIterator:
                     drop = int(np.argmax([g.n_atoms for g in batch_graphs]))
                     batch_graphs.pop(drop)
                     idx.pop(drop)
+                    dropped += 1
+            if dropped:
+                import warnings
+
+                warnings.warn(
+                    f"PackOverflow: dropped {dropped} molecule(s) from a "
+                    f"batch (spec {self.spec}); use sizing='max' if every "
+                    f"molecule must be kept", stacklevel=2)
             labels = (self.labels[idx] if self.labels is not None else None)
             yield gb, labels, np.asarray(idx)
 

@@ -112,6 +112,13 @@ class FineTuner:
 
         self.spec = spec_for_graphs(graphs, cfg.batch_size, cfg.max_degree,
                                     tile=cfg.model.tile)
+        # valid/test iterate DETERMINISTIC scaffold-ordered batches, for
+        # which the statistical 'total' sizing bound does not hold (a batch
+        # can be one large-scaffold run) — worst-case capacity guarantees
+        # no molecule is ever dropped from reported eval metrics
+        self.eval_spec = spec_for_graphs(graphs, cfg.batch_size,
+                                         cfg.max_degree,
+                                         tile=cfg.model.tile, sizing="max")
         lab = labels.astype(np.float32)
         self.iters = {}
         self.split_motifs = {}
@@ -120,7 +127,8 @@ class FineTuner:
             ("test", te, False, False),
         ]:
             self.iters[name] = BatchIterator(
-                [graphs[i] for i in ids], self.spec,
+                [graphs[i] for i in ids],
+                self.spec if shuffle else self.eval_spec,
                 labels=lab[ids], shuffle=shuffle, drop_last=drop,
                 seed=cfg.seed,
                 cache_packed=not (shuffle and cfg.repack_each_epoch))

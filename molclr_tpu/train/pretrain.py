@@ -387,100 +387,107 @@ class Pretrainer:
             profiler_active = True
         from molclr_tpu.data.loader import prefetch_iter
 
-        for epoch in range(getattr(self, "_start_epoch", 0), cfg.epochs):
-            t0 = time.time()
-            losses = []
-            pending = []
-            if self._device_stack is not None:
-                # device-resident epoch: dispatch scans over index vectors
-                # into the HBM batch cache; nothing but indices is uploaded
-                order = self.train_iter.cached_epoch_order()
-                for lo in range(0, len(order), s_fold):
-                    idxs = jnp.asarray(order[lo : lo + s_fold],
-                                       dtype=jnp.int32)
-                    self.state, loss_arr = self._multi_step_resident(
-                        self.state, self._device_stack, idxs, rng)
-                    losses.extend(float(x) for x in np.asarray(loss_arr))
-                self._log_step(log, epoch, losses, cfg)
-            elif cfg.data_axis:
-                epoch_iter = (prefetch_iter(iter(self.train_iter),
-                                            cfg.prefetch)
-                              if cfg.prefetch else self.train_iter)
-                for batch, _, _ in epoch_iter:
-                    pending.append(batch)
-                    if len(pending) < s_fold:
-                        continue
-                    losses.extend(self._dispatch(pending, rng, log, epoch,
-                                                 cfg))
-                    pending = []
-                # remainder smaller than one device-group is dropped
-                # (drop_last at superbatch granularity)
-                losses.extend(self._dispatch(pending, rng, log, epoch, cfg))
-            else:
-                # host path (corpus exceeds the HBM cache budget or first
-                # epoch): the prefetch thread packs, STACKS and UPLOADS the
-                # next superbatch while the device runs the current one
-                sb = self._host_superbatches(s_fold)
-                sb_iter = (prefetch_iter(sb, cfg.prefetch) if cfg.prefetch
-                           else sb)
-                for item in sb_iter:
-                    if isinstance(item, list):   # epoch remainder
-                        for batch in item:
-                            self.state, loss = self._train_step(
-                                self.state, batch, rng)
-                            losses.append(float(loss))
-                        continue
-                    self.state, loss_arr = self._multi_step(self.state,
-                                                            item, rng)
-                    losses.extend(float(x) for x in np.asarray(loss_arr))
-                self._log_step(log, epoch, losses, cfg)
-                self._maybe_upload_cache(log)
-            if profiler_active:
-                jax.block_until_ready(self.state.params)
-                jax.profiler.stop_trace()
-                profiler_active = False
-                log(f"profiler trace written to {cfg.profile_dir}")
-            train_loss = float(np.mean(losses)) if losses else float("nan")
-            # throughput accounting (SURVEY §5.1): message edges processed =
-            # 2 views x layers x (real directed edges + self-loops) per step
-            n_steps = len(losses)
-            epoch_s = time.time() - t0
-            edges_per_step = (2 * cfg.model.num_layers
-                              * (self._mean_real_edges
-                                 + self._mean_real_nodes))
-            record = {"epoch": epoch, "train_loss": train_loss,
-                      "time_s": round(epoch_s, 2),
-                      "steps": n_steps,
-                      "edges_per_sec": round(
-                          edges_per_step * n_steps / max(epoch_s, 1e-9))}
-            if (epoch + 1) % cfg.eval_every_epochs == 0:
-                val = self.validate(jax.random.fold_in(rng, 10_000 + epoch))
-                record["valid_loss"] = val
-                if val < best_val:
-                    best_val = val
+        try:
+            for epoch in range(getattr(self, "_start_epoch", 0), cfg.epochs):
+                t0 = time.time()
+                losses = []
+                pending = []
+                if self._device_stack is not None:
+                    # device-resident epoch: dispatch scans over index vectors
+                    # into the HBM batch cache; nothing but indices is uploaded
+                    order = self.train_iter.cached_epoch_order()
+                    for lo in range(0, len(order), s_fold):
+                        idxs = jnp.asarray(order[lo : lo + s_fold],
+                                           dtype=jnp.int32)
+                        self.state, loss_arr = self._multi_step_resident(
+                            self.state, self._device_stack, idxs, rng)
+                        losses.extend(float(x) for x in np.asarray(loss_arr))
+                    self._log_step(log, epoch, losses, cfg)
+                elif cfg.data_axis:
+                    epoch_iter = (prefetch_iter(iter(self.train_iter),
+                                                cfg.prefetch)
+                                  if cfg.prefetch else self.train_iter)
+                    for batch, _, _ in epoch_iter:
+                        pending.append(batch)
+                        if len(pending) < s_fold:
+                            continue
+                        losses.extend(self._dispatch(pending, rng, log, epoch,
+                                                     cfg))
+                        pending = []
+                    # remainder smaller than one device-group is dropped
+                    # (drop_last at superbatch granularity)
+                    losses.extend(self._dispatch(pending, rng, log, epoch, cfg))
+                else:
+                    # host path (corpus exceeds the HBM cache budget or first
+                    # epoch): the prefetch thread packs, STACKS and UPLOADS the
+                    # next superbatch while the device runs the current one
+                    sb = self._host_superbatches(s_fold)
+                    sb_iter = (prefetch_iter(sb, cfg.prefetch) if cfg.prefetch
+                               else sb)
+                    for item in sb_iter:
+                        if isinstance(item, list):   # epoch remainder
+                            for batch in item:
+                                self.state, loss = self._train_step(
+                                    self.state, batch, rng)
+                                losses.append(float(loss))
+                            continue
+                        self.state, loss_arr = self._multi_step(self.state,
+                                                                item, rng)
+                        losses.extend(float(x) for x in np.asarray(loss_arr))
+                    self._log_step(log, epoch, losses, cfg)
+                    self._maybe_upload_cache(log)
+                if profiler_active:
+                    jax.block_until_ready(self.state.params)
+                    jax.profiler.stop_trace()
+                    profiler_active = False
+                    log(f"profiler trace written to {cfg.profile_dir}")
+                train_loss = float(np.mean(losses)) if losses else float("nan")
+                # throughput accounting (SURVEY §5.1): message edges processed =
+                # 2 views x layers x (real directed edges + self-loops) per step
+                n_steps = len(losses)
+                epoch_s = time.time() - t0
+                edges_per_step = (2 * cfg.model.num_layers
+                                  * (self._mean_real_edges
+                                     + self._mean_real_nodes))
+                record = {"epoch": epoch, "train_loss": train_loss,
+                          "time_s": round(epoch_s, 2),
+                          "steps": n_steps,
+                          "edges_per_sec": round(
+                              edges_per_step * n_steps / max(epoch_s, 1e-9))}
+                if (epoch + 1) % cfg.eval_every_epochs == 0:
+                    val = self.validate(jax.random.fold_in(rng, 10_000 + epoch))
+                    record["valid_loss"] = val
+                    if val < best_val:
+                        best_val = val
+                        ckpt_lib.save_checkpoint(
+                            os.path.join(cfg.ckpt_dir, "best"), 0,
+                            {"params": self.state.params,
+                             "batch_stats": self.state.batch_stats},
+                            force=True)
+                if (epoch + 1) % cfg.save_every_epochs == 0:
+                    # periodic checkpoints carry the FULL train state so resume
+                    # continues the optimizer/schedule (unlike the reference)
                     ckpt_lib.save_checkpoint(
-                        os.path.join(cfg.ckpt_dir, "best"), 0,
+                        cfg.ckpt_dir, int(self.state.step),
                         {"params": self.state.params,
-                         "batch_stats": self.state.batch_stats},
-                        force=True)
-            if (epoch + 1) % cfg.save_every_epochs == 0:
-                # periodic checkpoints carry the FULL train state so resume
-                # continues the optimizer/schedule (unlike the reference)
-                ckpt_lib.save_checkpoint(
-                    cfg.ckpt_dir, int(self.state.step),
-                    {"params": self.state.params,
-                     "batch_stats": self.state.batch_stats,
-                     "opt_state": self.state.opt_state,
-                     "step": int(self.state.step), "epoch": epoch})
-            history.append(record)
-            writer.record(record)
-            writer.scalars(int(self.state.step),
-                           train_loss=train_loss,
-                           cosine_lr_decay=float(
-                               self.schedule(int(self.state.step))),
-                           validation_loss=record.get("valid_loss",
-                                                      float("nan")),
-                           edges_per_sec=record["edges_per_sec"])
-            log(f"epoch {epoch}: {record}")
-        writer.close()
+                         "batch_stats": self.state.batch_stats,
+                         "opt_state": self.state.opt_state,
+                         "step": int(self.state.step), "epoch": epoch})
+                history.append(record)
+                writer.record(record)
+                writer.scalars(int(self.state.step),
+                               train_loss=train_loss,
+                               cosine_lr_decay=float(
+                                   self.schedule(int(self.state.step))),
+                               validation_loss=record.get("valid_loss",
+                                                          float("nan")),
+                               edges_per_sec=record["edges_per_sec"])
+                log(f"epoch {epoch}: {record}")
+        finally:
+            if profiler_active:
+                # pair start_trace even if the loop body raised
+                # or never ran (resume past the last epoch)
+                jax.profiler.stop_trace()
+                log(f"profiler trace written to {cfg.profile_dir}")
+            writer.close()
         return history

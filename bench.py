@@ -110,7 +110,8 @@ def main() -> int:
 
     def loss_fn(params, batch_stats, rng):
         ra, ri, rj = jax.random.split(rng, 3)
-        vi, vj = paired_augment(batch, ra, args.aug, tile=args.tile)
+        vi, vj = paired_augment(batch, ra, args.aug, tile=args.tile,
+                                bond_window=spec.max_graph_bonds)
         if args.concat:
             both = concat_views(vi, vj)
             (_, z), upd = model.apply(

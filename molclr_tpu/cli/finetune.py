@@ -24,6 +24,9 @@ def main(argv=None) -> int:
     p.add_argument("--data-root", default=None)
     p.add_argument("--motifs", action="store_true",
                    help="use the motif (clique) attention head")
+    p.add_argument("--n-seeds", type=int, default=None,
+                   help=">1 trains a vmapped seed ensemble in one step "
+                        "and reports mean +- std (paper protocol)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
 
@@ -52,6 +55,8 @@ def main(argv=None) -> int:
         cfg.data_root = args.data_root
     if args.motifs:
         cfg.use_motifs = True
+    if args.n_seeds is not None:
+        cfg.n_seeds = args.n_seeds
     if cfg.task_name not in TASKS:
         p.error(f"unknown task {cfg.task_name!r}; known: "
                 f"{', '.join(sorted(TASKS))}")
@@ -65,13 +70,16 @@ def main(argv=None) -> int:
         first = next(iter(ft.iters["train"]))[0]
         ft.setup_state(first)
         result = ft.train()
+        std = (f" +- {result['test_std']:.4f}"
+               if "test_std" in result else "")
         print(f"RESULT {cfg.task_name}/{args.target}: "
-              f"{result['metric_name']} = {result['test_metric']:.4f}")
+              f"{result['metric_name']} = {result['test_metric']:.4f}{std}")
     else:
         results = run_all_targets(cfg)
         for r in results:
+            std = f" +- {r['test_std']:.4f}" if "test_std" in r else ""
             print(f"RESULT {cfg.task_name}/{r['target']}: "
-                  f"{r['metric_name']} = {r['test_metric']:.4f}")
+                  f"{r['metric_name']} = {r['test_metric']:.4f}{std}")
     return 0
 
 

@@ -23,10 +23,12 @@ match in distribution; the two views' BFS start atoms are drawn distinct via
 `paired_augment`, as in the reference (dataset_subgraph.py:109).
 
 Sampling-without-replacement is implemented as ranking uniform keys within
-each graph's contiguous segment: on tile-aligned batches node rankings use
-a sort-free per-tile compare-and-count (_segment_ranks_tile, 15x faster on
-v5e); bond buffers (not tile-aligned) and untiled batches use one lexsort
-over the flat buffer. Both vectorize on TPU with no host round-trip.
+each graph's contiguous segment, sort-free on the hot paths: tile-aligned
+node buffers use a per-tile compare-and-count (_segment_ranks_tile, 15x
+faster than a lexsort on v5e) and bond buffers a windowed compare-and-count
+(_segment_ranks_window, bound by spec.max_graph_bonds); untiled/unbounded
+batches fall back to one lexsort over the flat buffer. All variants
+vectorize on TPU with no host round-trip.
 """
 
 from __future__ import annotations
@@ -75,6 +77,62 @@ def _segment_ranks_tile(key, seg, valid, tile: int):
     return jnp.sum(same & less, axis=2, dtype=jnp.int32).reshape(n)
 
 
+def _segment_ranks_window(key, seg, valid, seg_counts, window: int):
+    """Sort-free segment ranking for CONTIGUOUS-segment buffers (bonds).
+
+    Segments are contiguous and at most `window` long (PadSpec.
+    max_graph_bonds, enforced by pack_batch), so any two same-segment
+    elements sit within `window - 1` positions of each other. Reshape the
+    buffer into blocks of `window`; every element's segment-mates then lie
+    in its own block or the two adjacent ones, and
+    rank_i = #{j in 3-block band : seg_j == seg_i, valid_j,
+               (key_j, j) < (key_i, i)}
+    is a [B, W, 3W] compare-and-count built from reshapes and static
+    shifts only — no sort, no scatter, and crucially NO gather (a [n, W]
+    arbitrary row gather of scalars profiled ~40x slower than this on
+    v5e). Matches _segment_ranks on valid rows (stable position
+    tie-break). seg_counts is unused (kept for signature parity)."""
+    del seg_counts
+    n = key.shape[0]
+    w = max(int(window), 1)
+    pad = (-n) % w
+    big = jnp.int32(0x7FFFFFFF)
+    if pad:
+        key = jnp.concatenate([key, jnp.full(pad, big, key.dtype)])
+        seg = jnp.concatenate([seg, jnp.full(pad, -1, seg.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros(pad, bool)])
+    b = (n + pad) // w
+    kb = key.reshape(b, w)
+    sb = seg.reshape(b, w)
+    vb = valid.reshape(b, w)
+    ib = jnp.arange(n + pad, dtype=jnp.int32).reshape(b, w)
+
+    def band(x, fill):
+        prev = jnp.concatenate([jnp.full((1, w), fill, x.dtype), x[:-1]])
+        nxt = jnp.concatenate([x[1:], jnp.full((1, w), fill, x.dtype)])
+        return jnp.concatenate([prev, x, nxt], axis=1)       # [B, 3W]
+
+    kw, sw = band(kb, big), band(sb, jnp.int32(-1))
+    vw, iw = band(vb, False), band(ib, jnp.int32(-1))
+    same = sw[:, None, :] == sb[:, :, None]                  # [B, W, 3W]
+    less = (kw[:, None, :] < kb[:, :, None]) | (
+        (kw[:, None, :] == kb[:, :, None])
+        & (iw[:, None, :] < ib[:, :, None]))
+    cnt = jnp.sum(same & vw[:, None, :] & less, axis=2, dtype=jnp.int32)
+    return cnt.reshape(-1)[:n]
+
+
+def _bond_ranks(batch, key, bond_window: int):
+    """Segment ranks over the bond buffer: windowed compare-and-count when
+    the per-molecule bond bound is known (spec.max_graph_bonds), else one
+    lexsort over the flat buffer."""
+    if bond_window:
+        return _segment_ranks_window(key, batch.bond_graph, batch.bond_mask,
+                                     batch.graph_n_bonds, bond_window)
+    return _segment_ranks(key, batch.bond_graph, batch.bond_mask,
+                          batch.graph_n_bonds)
+
+
 def _node_ranks(batch, key, tile: int):
     """Segment ranks over the node buffer, using the tile fast path when
     the batch is tile-aligned (bond buffers are NOT tile-aligned and must
@@ -116,7 +174,8 @@ def _bond_endpoints(batch):
 
 
 def node_augment(batch, rng, node_frac: float = 0.25,
-                 bond_frac: float = 0.25, tile: int = 0):
+                 bond_frac: float = 0.25, tile: int = 0,
+                 bond_window: int = 0):
     """Atom masking + bond deletion (ref dataset/dataset.py:111-147)."""
     rng_n, rng_b = jax.random.split(rng)
     g = batch.num_graphs
@@ -130,9 +189,8 @@ def node_augment(batch, rng, node_frac: float = 0.25,
     mask_flag = batch.node_mask & (rank_n < k_n[batch.node_graph])
     atom_type, chirality = _mask_atoms(batch, mask_flag)
 
-    rank_b = _segment_ranks(_rand_keys(rng_b, batch.num_bonds),
-                            batch.bond_graph, batch.bond_mask,
-                            batch.graph_n_bonds)
+    rank_b = _bond_ranks(batch, _rand_keys(rng_b, batch.num_bonds),
+                         bond_window)
     k_b = jnp.floor(bond_frac * batch.graph_n_bonds).astype(jnp.int32)
     drop_bond = batch.bond_mask & (rank_b < k_b[batch.bond_graph])
     edge_mask, nbr_mask = _apply_bond_drop(batch, drop_bond)
@@ -227,11 +285,12 @@ def subgraph_augment(batch, rng, frac: float = 0.25, max_waves: int = 32,
 
 @partial(jax.jit,
          static_argnames=("sub_frac_max", "node_frac", "bond_keep",
-                          "max_waves", "start_rank_slot", "tile"))
+                          "max_waves", "start_rank_slot", "tile",
+                          "bond_window"))
 def mix_augment(batch, rng, sub_frac_max: float = 0.2,
                 node_frac: float = 0.25, bond_keep: float = 0.75,
                 max_waves: int = 32, start_rank_slot: int = 0,
-                start_rng=None, tile: int = 0):
+                start_rng=None, tile: int = 0, bond_window: int = 0):
     """Subgraph removal + top-up masking/deletion (ref dataset_mix.py)."""
     rng_f, rng_s, rng_n, rng_b = jax.random.split(rng, 4)
     g = batch.num_graphs
@@ -267,8 +326,7 @@ def mix_augment(batch, rng, sub_frac_max: float = 0.2,
     keep_cap = jnp.ceil(bond_keep * batch.graph_n_bonds).astype(jnp.int32)
     bkey = jnp.where(drop_sub, _INF_TIME,
                      _rand_keys(rng_b, batch.num_bonds))
-    brank = _segment_ranks(bkey, batch.bond_graph, batch.bond_mask,
-                           batch.graph_n_bonds)
+    brank = _bond_ranks(batch, bkey, bond_window)
     # surviving bonds rank first; keep only the first keep_cap of them
     drop_extra = (batch.bond_mask & jnp.logical_not(drop_sub)
                   & (brank >= keep_cap[batch.bond_graph]))
@@ -279,26 +337,32 @@ def mix_augment(batch, rng, sub_frac_max: float = 0.2,
 
 # jit-wrapped node_augment (no static args beyond fractions)
 node_augment = partial(jax.jit, static_argnames=("node_frac", "bond_frac",
-                                                 "tile"))(node_augment)
+                                                 "tile",
+                                                 "bond_window"))(node_augment)
 
 
-def paired_augment(batch, rng, kind: str = "node", tile: int = 0, **kwargs):
+def paired_augment(batch, rng, kind: str = "node", tile: int = 0,
+                   bond_window: int = 0, **kwargs):
     """The two contrastive views of one base batch (ref returns (data_i,
     data_j) per molecule, dataset/dataset.py:147). BFS-based kinds use
     distinct start atoms per view via start_rank_slot; pass tile > 0 for
-    tile-aligned batches to run BFS as block-diagonal matmuls."""
+    tile-aligned batches to run BFS as block-diagonal matmuls, and
+    bond_window = spec.max_graph_bonds to rank bonds without a sort."""
     rng_i, rng_j, rng_start = jax.random.split(rng, 3)
     kwargs["tile"] = tile
     if kind == "node":
+        kwargs["bond_window"] = bond_window
         return (node_augment(batch, rng_i, **kwargs),
                 node_augment(batch, rng_j, **kwargs))
     if kind == "subgraph":
         # shared start ranking + slots 0/1 -> distinct start atoms per view
+        # (no bond ranking: bonds drop by removed endpoints)
         return (subgraph_augment(batch, rng_i, start_rank_slot=0,
                                  start_rng=rng_start, **kwargs),
                 subgraph_augment(batch, rng_j, start_rank_slot=1,
                                  start_rng=rng_start, **kwargs))
     if kind == "mix":
+        kwargs["bond_window"] = bond_window
         return (mix_augment(batch, rng_i, start_rank_slot=0,
                             start_rng=rng_start, **kwargs),
                 mix_augment(batch, rng_j, start_rank_slot=1,

@@ -54,6 +54,12 @@ class PadSpec:
     n_edges: int       # directed edge capacity (2x bond capacity)
     max_degree: int = 6
     tile: int = 0
+    # Upper bound on undirected bonds in any single molecule (a corpus
+    # statistic like max_degree, set by spec_for_graphs; 0 = unknown).
+    # Enables the sort-free windowed bond ranking in data/augment.py:
+    # per-molecule bonds are contiguous, so each bond only compares keys
+    # against this many successors of its graph's first bond.
+    max_graph_bonds: int = 0
 
     def __post_init__(self):
         if self.tile:
@@ -185,6 +191,12 @@ def pack_batch(graphs: list[MolGraph], spec: PadSpec,
     Uses the native C packer when available (~10x; exact parity pinned by
     tests/test_native.py); prefer_native=False forces this Python
     implementation (the semantic source of truth)."""
+    if spec.max_graph_bonds:
+        worst = max((g.edge_src.shape[0] // 2 for g in graphs), default=0)
+        if worst > spec.max_graph_bonds:
+            raise PackOverflow(
+                f"a molecule has {worst} bonds > spec.max_graph_bonds "
+                f"{spec.max_graph_bonds} (the windowed bond-ranking bound)")
     if prefer_native and graphs:
         from molclr_tpu import native
 

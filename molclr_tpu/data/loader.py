@@ -130,6 +130,8 @@ def spec_for_graphs(graphs: list[MolGraph], batch_size: int,
     edges = np.array([g.edge_src.shape[0] for g in graphs])
     if len(atoms) == 0:
         atoms, edges = np.array([1]), np.array([2])
+    # corpus bound for the sort-free windowed bond ranking (data/augment.py)
+    max_graph_bonds = int(edges.max()) // 2
 
     def capacity(x):
         if sizing == "total":
@@ -161,8 +163,9 @@ def spec_for_graphs(graphs: list[MolGraph], batch_size: int,
             n_nodes += int(np.ceil(est_tiles * mean_atoms * 0.75))
             n_nodes = -(-max(n_nodes, 8) // tile) * tile
         return PadSpec(batch_size, n_nodes, max(n_edges, 8), max_degree,
-                       tile)
-    return PadSpec(batch_size, max(n_nodes, 8), max(n_edges, 8), max_degree)
+                       tile, max_graph_bonds=max_graph_bonds)
+    return PadSpec(batch_size, max(n_nodes, 8), max(n_edges, 8), max_degree,
+                   max_graph_bonds=max_graph_bonds)
 
 
 @dataclass

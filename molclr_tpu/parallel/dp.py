@@ -43,7 +43,7 @@ def stack_batches(batches) -> object:
 def build_dp_pretrain_step(model, tx, mesh: Mesh, *, aug: str = "node",
                            temperature: float = 0.1,
                            use_cosine: bool = True, axis: str = "data",
-                           tile: int = 0):
+                           tile: int = 0, bond_window: int = 0):
     """Jitted data-parallel train step: (state, stacked_batch, rng) ->
     (state, loss). `stacked_batch` has a leading device axis of size
     mesh.shape[axis]; state is replicated."""
@@ -55,7 +55,8 @@ def build_dp_pretrain_step(model, tx, mesh: Mesh, *, aug: str = "node",
 
         def loss_fn(params, batch_stats):
             rng_aug, rng_di, rng_dj = jax.random.split(rng, 3)
-            vi, vj = paired_augment(batch, rng_aug, aug, tile=tile)
+            vi, vj = paired_augment(batch, rng_aug, aug, tile=tile,
+                                    bond_window=bond_window)
             (_, zi), upd = model.apply(
                 {"params": params, "batch_stats": batch_stats}, vi,
                 train=True, rngs={"dropout": rng_di},

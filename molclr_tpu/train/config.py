@@ -115,6 +115,15 @@ class FineTuneConfig:
                                     # the per-epoch repack + upload.
     log_every_steps: int = 50
     tensorboard: bool = False       # also write TB scalars into ckpt_dir
+    n_seeds: int = 1                # >1: train a seed ENSEMBLE in one
+                                    # vmapped step (stacked params/opt
+                                    # state, shared batch stream). The
+                                    # reference paper protocol reports
+                                    # mean +- std over 3 independent runs;
+                                    # here they cost ~one run's wall-clock
+                                    # (batched matmuls over the model axis
+                                    # feed the MXU better than one tiny
+                                    # fine-tune step).
 
 
 def _merge(dc, d: dict):

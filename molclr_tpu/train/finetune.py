@@ -12,6 +12,13 @@ batch (the reference runs the model twice, quirk Q10); ROC-AUC scores default
 to softmax probabilities instead of raw logit[:,1] (quirk Q7,
 score_mode='logit1' restores reference behavior); the two-LR split is
 structural rather than name-matched (quirk Q6).
+
+TPU-native extension: cfg.n_seeds > 1 trains a seed ENSEMBLE in one vmapped
+step — params/opt state/batch stats carry a leading seed axis, every batch
+is shared, and per-seed best-epoch gating matches what n_seeds sequential
+reference runs would do. The paper protocol's "mean +- std over 3 runs"
+then costs roughly one run's wall-clock (the model axis batches the tiny
+fine-tune matmuls onto the MXU).
 """
 
 from __future__ import annotations
@@ -159,16 +166,16 @@ class FineTuner:
         return mi, mm
 
     # ---- state ----
-    def setup_state(self, example_batch):
+    def _init_single(self, example_batch, seed: int):
         cfg = self.cfg
         if cfg.use_motifs:
             mi, mm = self._batch_motifs("train",
                                         np.arange(min(2, len(
                                             self.iters["train"].graphs))))
-            variables = self.model.init(jax.random.PRNGKey(cfg.seed),
+            variables = self.model.init(jax.random.PRNGKey(seed),
                                         example_batch, mi, mm, train=False)
         else:
-            variables = self.model.init(jax.random.PRNGKey(cfg.seed),
+            variables = self.model.init(jax.random.PRNGKey(seed),
                                         example_batch, train=False)
         params, stats = variables["params"], variables.get("batch_stats", {})
         if cfg.pretrained:
@@ -177,10 +184,33 @@ class FineTuner:
             params = dict(params)
             params["motif_embedding"] = jnp.asarray(
                 self._encode_motifs(params, stats))
-        self.tx = two_group_adam(params, cfg.init_lr, cfg.init_base_lr,
-                                 cfg.weight_decay)
+        return params, stats
+
+    def setup_state(self, example_batch):
+        cfg = self.cfg
+        if cfg.n_seeds > 1:
+            # seed ensemble: stacked params/stats with a leading seed axis;
+            # every jitted step runs vmapped over it (one batched program
+            # instead of n_seeds sequential runs — the reference protocol's
+            # "3 independent runs" for ~one run's wall-clock)
+            per_seed = [self._init_single(example_batch, cfg.seed + s)
+                        for s in range(cfg.n_seeds)]
+            params = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *[p for p, _ in per_seed])
+            stats = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *[s for _, s in per_seed])
+            self.tx = two_group_adam(per_seed[0][0], cfg.init_lr,
+                                     cfg.init_base_lr, cfg.weight_decay)
+            opt_state = jax.vmap(self.tx.init)(params)
+        else:
+            params, stats = self._init_single(example_batch, cfg.seed)
+            self.tx = two_group_adam(params, cfg.init_lr, cfg.init_base_lr,
+                                     cfg.weight_decay)
+            opt_state = self.tx.init(params)
+        step0 = (jnp.zeros(cfg.n_seeds, jnp.int32) if cfg.n_seeds > 1
+                 else 0)
         self.state = TrainState(params=params, batch_stats=stats,
-                                opt_state=self.tx.init(params), step=0)
+                                opt_state=opt_state, step=step0)
         return self
 
     def _encode_motifs(self, params, stats):
@@ -271,14 +301,25 @@ class FineTuner:
                                        batch, motifs, False)
             return pred.astype(jnp.float32)
 
+        n_seeds = self.cfg.n_seeds
+        if n_seeds > 1:
+            # seed-ensemble: one vmapped step over the leading seed axis of
+            # the state; batches are shared, rng streams are per-seed
+            step_fn = jax.vmap(train_step, in_axes=(0, None, None, None, 0))
+            pred_fn = jax.vmap(predict_step, in_axes=(0, None, None))
+        else:
+            step_fn, pred_fn = train_step, predict_step
+
         def multi_train(state, stack, idxs, rng):
             """Scan train steps over the device-resident split stack; only
             the int32 index vector crosses the host boundary per epoch."""
+            r = jax.random.split(rng, n_seeds) if n_seeds > 1 else rng
+
             def body(s, i):
                 b, lab, mi, mm = jax.tree_util.tree_map(lambda x: x[i],
                                                         stack)
                 motifs = (mi, mm) if use_motifs else ()
-                return train_step(s, b, motifs, lab, rng)
+                return step_fn(s, b, motifs, lab, r)
             return jax.lax.scan(body, state, idxs)
 
         def multi_predict(state, stack):
@@ -288,7 +329,7 @@ class FineTuner:
                 b, lab, mi, mm = jax.tree_util.tree_map(lambda x: x[i],
                                                         stack)
                 motifs = (mi, mm) if use_motifs else ()
-                return None, (predict_step(state, b, motifs), b.graph_mask)
+                return None, (pred_fn(state, b, motifs), b.graph_mask)
             return jax.lax.scan(body, None,
                                 jnp.arange(n, dtype=jnp.int32))[1]
 
@@ -352,22 +393,32 @@ class FineTuner:
             out = self.normalizer.denorm(out)
         return out
 
-    def evaluate(self, split: str, state=None) -> dict:
-        state = state or self.state
-        stack = self._split_stack(split)
-        preds_all, masks_all = self._multi_predict(state, stack)
-        preds_all = np.asarray(preds_all)       # [n_batches, G, out]
-        masks_all = np.asarray(masks_all)       # [n_batches, G]
-        labels_all = np.asarray(stack[1])       # [n_batches, G]
-        pred = preds_all[masks_all]
-        lab = labels_all[masks_all]
+    def _metric_of(self, pred: np.ndarray, lab: np.ndarray) -> float:
         scores = self._scores(pred)
         if self.task.task == "regression" and self.normalizer is not None:
             lab = self.normalizer.denorm(lab)
-        metric = METRICS[self.task.metric](lab, scores)
-        loss_proxy = metric  # gate on the task metric (finetune.py:228-243)
-        return {"metric": metric, "name": self.task.metric,
-                "n": len(lab), "loss": loss_proxy}
+        return METRICS[self.task.metric](lab, scores)
+
+    def evaluate(self, split: str, state=None) -> dict:
+        state = state if state is not None else self.state
+        stack = self._split_stack(split)
+        preds_all, masks_all = self._multi_predict(state, stack)
+        preds_all = np.asarray(preds_all)  # [n_batches, (S,) G, out]
+        masks_all = np.asarray(masks_all)       # [n_batches, G]
+        labels_all = np.asarray(stack[1])       # [n_batches, G]
+        lab = labels_all[masks_all]
+        out = {"name": self.task.metric, "n": len(lab)}
+        if preds_all.ndim == 4:                 # seed ensemble
+            per_seed = [self._metric_of(preds_all[:, s][masks_all], lab)
+                        for s in range(preds_all.shape[1])]
+            out["per_seed"] = per_seed
+            out["metric"] = float(np.mean(per_seed))
+            out["std"] = float(np.std(per_seed))
+        else:
+            out["metric"] = self._metric_of(preds_all[masks_all], lab)
+        # gate on the task metric (finetune.py:228-243)
+        out["loss"] = out["metric"]
+        return out
 
     # ---- loop ----
     def train(self, log=print):
@@ -381,7 +432,8 @@ class FineTuner:
                                f"{cfg.task_name}_{self.target}")
         writer = MetricWriter(run_dir, tensorboard=cfg.tensorboard)
         direction = METRIC_DIRECTION[self.task.metric]
-        best = -np.inf
+        n_seeds = cfg.n_seeds
+        best = np.full(n_seeds, -np.inf) if n_seeds > 1 else -np.inf
         # Deep host copy: train_step donates its input state's buffers, and
         # on CPU backends device_get can return VIEWS of those buffers, which
         # the next donated step overwrites in place — snapshots must own
@@ -396,30 +448,56 @@ class FineTuner:
             self.state, loss_arr = self._multi_train(
                 self.state, train_stack,
                 jnp.asarray(order, dtype=jnp.int32), rng)
-            losses = [float(x) for x in np.asarray(loss_arr)]
+            losses = np.asarray(loss_arr)       # [n_batches(, n_seeds)]
             val = self.evaluate("valid")
-            score = direction * val["metric"]
-            if score > best or np.isnan(best):
-                best = score
-                best_state = snapshot(self.state)
+            if n_seeds > 1:
+                # per-seed best-epoch gating, exactly as n_seeds sequential
+                # reference runs would gate independently
+                scores = direction * np.asarray(val["per_seed"])
+                improved = (scores > best) | np.isnan(best)
+                best = np.where(improved, scores, best)
+                if improved.any():
+                    new = snapshot(self.state)
+                    best_state = jax.tree_util.tree_map(
+                        lambda o, n: np.where(
+                            improved.reshape((n_seeds,)
+                                             + (1,) * (n.ndim - 1)),
+                            n, o),
+                        best_state, new)
+            else:
+                score = direction * val["metric"]
+                if score > best or np.isnan(best):
+                    best = score
+                    best_state = snapshot(self.state)
             record = {"epoch": epoch,
-                      "train_loss": float(np.mean(losses)) if losses else
-                      float("nan"),
+                      "train_loss": float(losses.mean()) if losses.size
+                      else float("nan"),
                       f"valid_{val['name']}": val["metric"],
                       "time_s": round(time.time() - t0, 2)}
+            if "std" in val:
+                record[f"valid_{val['name']}_std"] = val["std"]
             history.append(record)
             writer.record(record)
             writer.scalars(epoch, train_loss=record["train_loss"],
                            **{f"valid_{val['name']}": val["metric"]})
             log(f"[{cfg.task_name}/{self.target}] {record}")
         test = self.evaluate("test", state=best_state)
-        writer.record({"test_" + test["name"]: test["metric"]})
+        writer.record({"test_" + test["name"]: test["metric"],
+                       **({"test_" + test["name"] + "_std": test["std"],
+                           "test_per_seed": test["per_seed"]}
+                          if "per_seed" in test else {})})
         writer.close()
         log(f"[{cfg.task_name}/{self.target}] test {test['name']} = "
-            f"{test['metric']:.4f}")
+            f"{test['metric']:.4f}"
+            + (f" +- {test['std']:.4f} ({n_seeds} seeds)"
+               if "std" in test else ""))
         self.best_state = best_state
-        return {"target": self.target, "test_metric": test["metric"],
-                "metric_name": test["name"], "history": history}
+        out = {"target": self.target, "test_metric": test["metric"],
+               "metric_name": test["name"], "history": history}
+        if "per_seed" in test:
+            out["test_std"] = test["std"]
+            out["test_per_seed"] = test["per_seed"]
+        return out
 
 
 def run_all_targets(cfg: FineTuneConfig, log=print) -> list[dict]:
@@ -438,5 +516,8 @@ def run_all_targets(cfg: FineTuneConfig, log=print) -> list[dict]:
         f"{cfg.task_name}_finetune.csv")
     with open(out, "a") as f:
         for r in results:
-            f.write(f"{r['target']},{r['test_metric']}\n")
+            row = f"{r['target']},{r['test_metric']}"
+            if "test_std" in r:
+                row += f",{r['test_std']}"
+            f.write(row + "\n")
     return results

@@ -143,11 +143,15 @@ class Pretrainer:
     # ---- jitted steps ----
     def _build_steps(self):
         model, cfg = self.model, self.cfg
+        # sort-free windowed bond ranking bound (0 before setup_data)
+        bond_window = getattr(getattr(self, "spec", None),
+                              "max_graph_bonds", 0)
 
         def loss_fn(params, batch_stats, batch, rng):
             rng_aug, rng_di, rng_dj = jax.random.split(rng, 3)
             vi, vj = paired_augment(batch, rng_aug, cfg.aug,
-                                    tile=cfg.model.tile)
+                                    tile=cfg.model.tile,
+                                    bond_window=bond_window)
             if cfg.concat_views:
                 from molclr_tpu.data.graphs import concat_views
 
@@ -219,7 +223,8 @@ class Pretrainer:
 
         def eval_step(state, batch, rng):
             vi, vj = paired_augment(batch, rng, cfg.aug,
-                                    tile=cfg.model.tile)
+                                    tile=cfg.model.tile,
+                                    bond_window=bond_window)
             _, zi = model.apply({"params": state.params,
                                  "batch_stats": state.batch_stats}, vi,
                                 train=False)
@@ -245,7 +250,7 @@ class Pretrainer:
                 model, self.tx, self.mesh, aug=cfg.aug,
                 temperature=cfg.temperature,
                 use_cosine=cfg.use_cosine_similarity, axis=cfg.data_axis,
-                tile=cfg.model.tile)
+                tile=cfg.model.tile, bond_window=bond_window)
             self._train_step = None
             self._multi_step = None
         else:

@@ -187,3 +187,59 @@ class TestPaired:
         vi, vj = paired_augment(batch, jax.random.PRNGKey(9), kind)
         assert ((np.asarray(vi.atom_type) != np.asarray(vj.atom_type)).any()
                 or (np.asarray(vi.edge_mask) != np.asarray(vj.edge_mask)).any())
+
+
+class TestWindowedBondRanks:
+    """The sort-free windowed bond ranking (_segment_ranks_window) must be
+    bit-identical to the lexsort ranking on every valid row, and the
+    augmentations must be draw-for-draw identical with it on or off."""
+
+    def test_rank_parity_random_segments(self):
+        from molclr_tpu.data.augment import (
+            _segment_ranks,
+            _segment_ranks_window,
+        )
+
+        rng = np.random.RandomState(3)
+        for trial in range(5):
+            counts = rng.randint(0, 9, size=7).astype(np.int32)
+            n = int(counts.sum()) + rng.randint(0, 5)  # tail padding
+            seg = np.zeros(n, np.int32)
+            valid = np.zeros(n, bool)
+            pos = 0
+            for g, c in enumerate(counts):
+                seg[pos:pos + c] = g
+                valid[pos:pos + c] = True
+                pos += c
+            key = rng.randint(0, 50, size=n).astype(np.int32)  # many ties
+            ref = np.asarray(_segment_ranks(
+                jax.numpy.asarray(key), jax.numpy.asarray(seg),
+                jax.numpy.asarray(valid), jax.numpy.asarray(counts)))
+            win = np.asarray(_segment_ranks_window(
+                jax.numpy.asarray(key), jax.numpy.asarray(seg),
+                jax.numpy.asarray(valid), jax.numpy.asarray(counts),
+                window=int(counts.max()) if counts.max() else 1))
+            np.testing.assert_array_equal(ref[valid], win[valid],
+                                          err_msg=f"trial {trial}")
+
+    @pytest.mark.parametrize("kind", ["node", "mix"])
+    def test_augment_identical_with_window(self, kind):
+        batch = make_batch()
+        w = int(max(batch.graph_n_bonds))
+        key = jax.random.PRNGKey(11)
+        a0 = paired_augment(batch, key, kind, bond_window=0)
+        a1 = paired_augment(batch, key, kind, bond_window=w)
+        for v0, v1 in zip(a0, a1):
+            for f in ("atom_type", "chirality", "edge_mask", "nbr_mask"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(v0, f)), np.asarray(getattr(v1, f)),
+                    err_msg=f"{kind}/{f}")
+
+    def test_pack_rejects_overlarge_molecule(self):
+        from molclr_tpu.data.graphs import PackOverflow
+
+        gs = [featurize_smiles(s) for s in SMILES]
+        spec = PadSpec(n_graphs=6, n_nodes=96, n_edges=224, max_degree=6,
+                       max_graph_bonds=3)  # aspirin has 13 bonds
+        with pytest.raises(PackOverflow):
+            pack_batch(gs, spec)

@@ -213,6 +213,23 @@ class TestSeedEnsemble:
         assert not np.allclose(head[0], head[1])
         assert int(np.asarray(ft.state.step).shape[0]) == 3
 
+    def test_best_state_gating_dominates_final(self, ensemble_run):
+        """best_state is the per-seed best-epoch state kept on DEVICE (a
+        jitted masked select, no host snapshot): its valid metric must
+        dominate the final epoch's, independently for every seed."""
+        ft, _ = ensemble_run
+        import jax
+
+        from molclr_tpu.train.finetune import METRIC_DIRECTION
+
+        leaves = jax.tree_util.tree_leaves(ft.best_state.params)
+        assert all(isinstance(x, jax.Array) for x in leaves)
+        d = METRIC_DIRECTION[ft.task.metric]
+        best = ft.evaluate("valid", state=ft.best_state)["per_seed"]
+        final = ft.evaluate("valid", state=ft.state)["per_seed"]
+        for s in range(3):
+            assert d * best[s] >= d * final[s] - 1e-9
+
     def test_vmapped_predict_matches_single(self, ensemble_run):
         """Row s of the vmapped prediction equals a single-model predict on
         seed s's params — the ensemble members are exactly independent."""

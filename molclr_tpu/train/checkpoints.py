@@ -167,7 +167,23 @@ def load_checkpoint(path: str, template: Any) -> Any:
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(path), template)
+    try:
+        return ckptr.restore(os.path.abspath(path), template)
+    except ValueError as e:
+        # Cross-platform restore (e.g. TPU-trained checkpoint opened on a
+        # CPU host): the saved shardings reference devices that do not
+        # exist here, so restore every leaf as plain numpy instead. Other
+        # ValueErrors (e.g. template/tree mismatches) must propagate —
+        # callers use them to detect weights-only checkpoints.
+        if "jax.local_devices" not in str(e):
+            raise
+        ptc = ocp.PyTreeCheckpointer()
+        meta = ptc.metadata(os.path.abspath(path)).item_metadata
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray),
+            meta.tree if hasattr(meta, "tree") else meta)
+        return ptc.restore(os.path.abspath(path),
+                           restore_args=restore_args)
 
 
 def latest_checkpoint(directory: str) -> str | None:

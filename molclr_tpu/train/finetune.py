@@ -73,6 +73,7 @@ class FineTuner:
         self.motif_vocab = None
         self.normalizer: Normalizer | None = None
         self._steps_built = False
+        self._pretrained_trees = None  # checkpoint loaded once per run
 
     def _model_kwargs(self):
         m = self.cfg.model
@@ -166,7 +167,7 @@ class FineTuner:
         return mi, mm
 
     # ---- state ----
-    def _init_single(self, example_batch, seed: int):
+    def _init_single(self, example_batch, seed: int, motif_cache=None):
         cfg = self.cfg
         if cfg.use_motifs:
             mi, mm = self._batch_motifs("train",
@@ -182,8 +183,13 @@ class FineTuner:
             params, stats = self._warm_start(params, stats)
         if cfg.use_motifs and self.motif_vocab.size > 0:
             params = dict(params)
-            params["motif_embedding"] = jnp.asarray(
-                self._encode_motifs(params, stats))
+            if motif_cache is not None and "emb" in motif_cache:
+                emb = motif_cache["emb"]
+            else:
+                emb = jnp.asarray(self._encode_motifs(params, stats))
+                if motif_cache is not None:
+                    motif_cache["emb"] = emb
+            params["motif_embedding"] = emb
         return params, stats
 
     def setup_state(self, example_batch):
@@ -193,7 +199,12 @@ class FineTuner:
             # every jitted step runs vmapped over it (one batched program
             # instead of n_seeds sequential runs — the reference protocol's
             # "3 independent runs" for ~one run's wall-clock)
-            per_seed = [self._init_single(example_batch, cfg.seed + s)
+            # warm-started trunks are identical across seeds, so the motif
+            # vocabulary only needs encoding once; scratch trunks differ
+            # per seed and must each encode their own
+            motif_cache = {} if cfg.pretrained else None
+            per_seed = [self._init_single(example_batch, cfg.seed + s,
+                                          motif_cache=motif_cache)
                         for s in range(cfg.n_seeds)]
             params = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs), *[p for p, _ in per_seed])
@@ -236,17 +247,21 @@ class FineTuner:
         return table
 
     def _warm_start(self, params, stats):
-        path = self.cfg.pretrained
-        if path.endswith(".pth"):
-            ip, istats = ckpt_lib.import_torch_params(
-                ckpt_lib.load_torch_state_dict(path),
-                gnn_type=self.cfg.model.gnn_type)
-        else:
-            # Orbax pretrain checkpoint: trunk/feat_lin trees line up with
-            # the fine-tune model, heads are dropped by the partial transfer.
-            restored = ckpt_lib.load_checkpoint(path, None)
-            ip = restored.get("params", restored)
-            istats = restored.get("batch_stats", {})
+        if self._pretrained_trees is None:
+            path = self.cfg.pretrained
+            if path.endswith(".pth"):
+                ip, istats = ckpt_lib.import_torch_params(
+                    ckpt_lib.load_torch_state_dict(path),
+                    gnn_type=self.cfg.model.gnn_type)
+            else:
+                # Orbax pretrain checkpoint: trunk/feat_lin trees line up
+                # with the fine-tune model, heads are dropped by the
+                # partial transfer.
+                restored = ckpt_lib.load_checkpoint(path, None)
+                ip = restored.get("params", restored)
+                istats = restored.get("batch_stats", {})
+            self._pretrained_trees = (ip, istats)
+        ip, istats = self._pretrained_trees
         return (ckpt_lib.transfer_params(ip, params),
                 ckpt_lib.transfer_params(istats, stats))
 
@@ -471,7 +486,7 @@ class FineTuner:
                 # per-seed best-epoch gating, exactly as n_seeds sequential
                 # reference runs would gate independently
                 scores = direction * np.asarray(val["per_seed"])
-                improved = (scores > best) | np.isnan(best)
+                improved = scores > best       # NaN scores never gate
                 best = np.where(improved, scores, best)
                 if improved.any():
                     best_state = select_best(
@@ -480,7 +495,7 @@ class FineTuner:
                         else self.state)
             else:
                 score = direction * val["metric"]
-                if score > best or np.isnan(best):
+                if score > best:
                     best = score
                     best_state = select_best(
                         all_mask, self.state,

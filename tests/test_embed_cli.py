@@ -48,3 +48,26 @@ def test_embed_cli_end_to_end(tmp_path):
     h, _ = model.apply(variables, b0, train=False)
     np.testing.assert_allclose(emb[0], np.asarray(h)[0], rtol=1e-4,
                                atol=1e-4)
+
+
+def test_load_checkpoint_cross_platform_fallback(tmp_path, monkeypatch):
+    """A checkpoint whose saved shardings reference devices absent on this
+    host (TPU-trained, CPU-restored) must fall back to a plain-numpy
+    restore. Simulated by forcing the standard restore to raise the same
+    ValueError Orbax raises for unknown devices."""
+    import orbax.checkpoint as ocp
+
+    tree = {"params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+            "batch_stats": {"m": np.zeros(3, np.float32)}}
+    path = ckpt_lib.save_checkpoint(str(tmp_path / "ckpt"), 0, tree)
+
+    def boom(self, *a, **k):
+        raise ValueError("Device TPU v5 lite0 was not found in "
+                         "jax.local_devices().")
+
+    monkeypatch.setattr(ocp.StandardCheckpointer, "restore", boom)
+    restored = ckpt_lib.load_checkpoint(path, None)
+    np.testing.assert_array_equal(restored["params"]["w"],
+                                  tree["params"]["w"])
+    np.testing.assert_array_equal(restored["batch_stats"]["m"],
+                                  tree["batch_stats"]["m"])

@@ -96,6 +96,28 @@ class TestPretrain:
         assert best_valid < base, (result, base)
         assert np.isfinite(result["test_metric"])
 
+    def test_regression_seed_ensemble(self, tmp_path):
+        """Ensemble + normalizer: per-seed RMSE is computed on DENORMALIZED
+        predictions, gating minimizes per seed, and the reported metric is
+        the across-seed mean ± std in original label units."""
+        cfg = FineTuneConfig(task_name="qm7", data_root=str(tmp_path),
+                             batch_size=32, epochs=4, model=SMALL,
+                             synthetic_n=250, seed=0, n_seeds=2,
+                             ckpt_dir=str(tmp_path / "ft"))
+        ft = FineTuner(cfg).setup_data()
+        first = next(iter(ft.iters["train"]))[0]
+        ft.setup_state(first)
+        result = ft.train(log=lambda *_: None)
+        assert result["metric_name"] == "mae"
+        per_seed = result["test_per_seed"]
+        assert len(per_seed) == 2 and all(np.isfinite(per_seed))
+        assert np.isclose(result["test_metric"], np.mean(per_seed))
+        # denormalized units: a z-scored-space MAE would be ~1; the raw
+        # qm7 synthetic labels have std orders of magnitude larger
+        raw_std = float(np.std(ft.normalizer.denorm(ft.train_labels)))
+        val = ft.evaluate("valid", state=ft.best_state)
+        assert all(m < raw_std for m in val["per_seed"]), (val, raw_std)
+
 
 class TestFullStateResume:
     def test_resume_continues_step_epoch_and_optimizer(self, tmp_path):

@@ -203,31 +203,38 @@ def _bfs_times(batch, start_flag, max_waves: int, tile: int = 0):
     atom over the (current) ELL adjacency. Unreached nodes get _INF_TIME.
 
     tile > 0 (tile-aligned batches) runs the frontier expansion as batched
-    [T, tile, tile] @ [T, tile, 1] matmuls over the block-diagonal
+    [T, tile, tile] @ [T, tile, V] matmuls over the block-diagonal
     adjacency instead of per-wave [N, K] gathers — the 32 sequential
     gather waves were ~13 ms on v5e at B=512 vs ~0.5 ms for the matmul
-    form (each wave is one small MXU op reading the shared adjacency)."""
+    form (each wave is one small MXU op reading the shared adjacency).
+    start_flag may be [N] or [N, V]: V independent start sets share one
+    wave sweep (the paired views' BFS runs batch into the same matmuls,
+    halving the sequential wave count per train step)."""
     if tile:
         from molclr_tpu.ops.tile_dense import build_tile_adjacency
 
         adj = build_tile_adjacency(batch.nbr, batch.nbr_mask, tile,
                                    dtype=jnp.bfloat16)
         n = batch.num_nodes
-        t0 = jnp.where(start_flag, 0, _INF_TIME)
+        squeeze = start_flag.ndim == 1
+        sf = start_flag[:, None] if squeeze else start_flag
+        v = sf.shape[1]
+        node_mask = batch.node_mask[:, None]
+        t0 = jnp.where(sf, 0, _INF_TIME)
 
         def body(k, carry):
             t, f = carry
-            fb = f.astype(jnp.bfloat16).reshape(-1, tile, 1)
+            fb = f.astype(jnp.bfloat16).reshape(-1, tile, v)
             nxt = jax.lax.dot_general(
                 adj, fb, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32).reshape(n)
-            f_new = batch.node_mask & (nxt > 0)
+                preferred_element_type=jnp.float32).reshape(n, v)
+            f_new = node_mask & (nxt > 0)
             t = jnp.where(f_new & (t == _INF_TIME), k + 1, t)
             return t, f_new
 
         t, _ = jax.lax.fori_loop(
-            0, max_waves, body, (t0, start_flag & batch.node_mask))
-        return t
+            0, max_waves, body, (t0, sf & node_mask))
+        return t[:, 0] if squeeze else t
 
     t0 = jnp.where(start_flag, 0, _INF_TIME)
 
@@ -261,6 +268,48 @@ def _subgraph_removal(batch, rng_s, rng_t, k_sub, max_waves: int,
             & (rank < k_sub[batch.node_graph]))
 
 
+def _subgraph_removal_pair(batch, rng_s, rng_ts, k_subs, max_waves: int,
+                           tile: int = 0):
+    """Removed-node flags for BOTH paired views at once. Identical to two
+    _subgraph_removal calls with start_rank_slot 0/1 sharing rng_s — the
+    views' BFS runs over the same (pre-drop) adjacency, so on tiled
+    batches their frontiers stack into one [T, tile, 2] matmul sweep,
+    halving the sequential wave count. rng_ts / k_subs are the per-view
+    tie-break rngs and removal budgets."""
+    start_rank = _node_ranks(batch, _rand_keys(rng_s, batch.num_nodes),
+                             tile)
+    starts = jnp.stack([batch.node_mask & (start_rank == 0),
+                        batch.node_mask & (start_rank == 1)], axis=1)
+    if tile:
+        t_pair = _bfs_times(batch, starts, max_waves, tile)
+    else:
+        t_pair = jnp.stack(
+            [_bfs_times(batch, starts[:, v], max_waves, tile)
+             for v in range(2)], axis=1)
+    out = []
+    for v in range(2):
+        t = t_pair[:, v]
+        key = jnp.minimum(t, max_waves + 1) * (1 << 20) + _rand_keys(
+            rng_ts[v], batch.num_nodes)
+        rank = _node_ranks(batch, key, tile)
+        out.append(batch.node_mask & (t < _INF_TIME)
+                   & (rank < k_subs[v][batch.node_graph]))
+    return out[0], out[1]
+
+
+def _finish_subgraph(batch, removed):
+    """Mask removed atoms and drop bonds touching them (the per-view tail
+    of subgraph removal, ref dataset_subgraph.py:137-172)."""
+    atom_type, chirality = _mask_atoms(batch, removed)
+    bsrc, bdst = _bond_endpoints(batch)
+    rem = removed.astype(jnp.int32)  # int32 gathers (see _apply_bond_drop)
+    drop_bond = batch.bond_mask & (
+        (jnp.take(rem, bsrc) | jnp.take(rem, bdst)) > 0)
+    edge_mask, nbr_mask = _apply_bond_drop(batch, drop_bond)
+    return batch.replace(atom_type=atom_type, chirality=chirality,
+                         edge_mask=edge_mask, nbr_mask=nbr_mask)
+
+
 @partial(jax.jit, static_argnames=("frac", "max_waves", "start_rank_slot",
                                    "tile"))
 def subgraph_augment(batch, rng, frac: float = 0.25, max_waves: int = 32,
@@ -273,35 +322,28 @@ def subgraph_augment(batch, rng, frac: float = 0.25, max_waves: int = 32,
     k_sub = jnp.floor(frac * batch.graph_n_nodes).astype(jnp.int32)
     removed = _subgraph_removal(batch, rng_s, rng_t, k_sub, max_waves,
                                 start_rank_slot, tile)
-    atom_type, chirality = _mask_atoms(batch, removed)
-    bsrc, bdst = _bond_endpoints(batch)
-    rem = removed.astype(jnp.int32)  # int32 gathers (see _apply_bond_drop)
-    drop_bond = batch.bond_mask & (
-        (jnp.take(rem, bsrc) | jnp.take(rem, bdst)) > 0)
-    edge_mask, nbr_mask = _apply_bond_drop(batch, drop_bond)
-    return batch.replace(atom_type=atom_type, chirality=chirality,
-                         edge_mask=edge_mask, nbr_mask=nbr_mask)
+    return _finish_subgraph(batch, removed)
 
 
-@partial(jax.jit,
-         static_argnames=("sub_frac_max", "node_frac", "bond_keep",
-                          "max_waves", "start_rank_slot", "tile",
-                          "bond_window"))
-def mix_augment(batch, rng, sub_frac_max: float = 0.2,
-                node_frac: float = 0.25, bond_keep: float = 0.75,
-                max_waves: int = 32, start_rank_slot: int = 0,
-                start_rng=None, tile: int = 0, bond_window: int = 0):
-    """Subgraph removal + top-up masking/deletion (ref dataset_mix.py)."""
-    rng_f, rng_s, rng_n, rng_b = jax.random.split(rng, 4)
+@partial(jax.jit, static_argnames=("frac", "max_waves", "tile"))
+def paired_subgraph_augment(batch, rng_i, rng_j, rng_start,
+                            frac: float = 0.25, max_waves: int = 32,
+                            tile: int = 0):
+    """Both subgraph views in one program: the two BFS sweeps share the
+    pre-drop adjacency and batch into [T, tile, 2] matmuls. Bit-identical
+    to two subgraph_augment calls with start_rank_slot 0/1."""
+    rng_ts = [jax.random.split(r)[1] for r in (rng_i, rng_j)]
+    k_sub = jnp.floor(frac * batch.graph_n_nodes).astype(jnp.int32)
+    rem_i, rem_j = _subgraph_removal_pair(batch, rng_start, rng_ts,
+                                          (k_sub, k_sub), max_waves, tile)
+    return _finish_subgraph(batch, rem_i), _finish_subgraph(batch, rem_j)
+
+
+def _finish_mix(batch, removed, rng_n, rng_b, node_frac: float,
+                bond_keep: float, tile: int, bond_window: int):
+    """Top-up masking/deletion after subgraph removal (the per-view tail
+    of the mix augmentation, ref dataset_mix.py:175-215)."""
     g = batch.num_graphs
-
-    f = jax.random.uniform(rng_f, (g,), maxval=sub_frac_max)
-    k_sub = jnp.floor(f * batch.graph_n_nodes).astype(jnp.int32)
-    rng_ss, rng_st = jax.random.split(rng_s)
-    if start_rng is not None:
-        rng_ss = start_rng
-    removed = _subgraph_removal(batch, rng_ss, rng_st, k_sub, max_waves,
-                                start_rank_slot, tile)
     n_removed = jax.ops.segment_sum(removed.astype(jnp.int32),
                                     batch.node_graph, num_segments=g)
 
@@ -335,6 +377,54 @@ def mix_augment(batch, rng, sub_frac_max: float = 0.2,
                          edge_mask=edge_mask, nbr_mask=nbr_mask)
 
 
+@partial(jax.jit,
+         static_argnames=("sub_frac_max", "node_frac", "bond_keep",
+                          "max_waves", "start_rank_slot", "tile",
+                          "bond_window"))
+def mix_augment(batch, rng, sub_frac_max: float = 0.2,
+                node_frac: float = 0.25, bond_keep: float = 0.75,
+                max_waves: int = 32, start_rank_slot: int = 0,
+                start_rng=None, tile: int = 0, bond_window: int = 0):
+    """Subgraph removal + top-up masking/deletion (ref dataset_mix.py)."""
+    rng_f, rng_s, rng_n, rng_b = jax.random.split(rng, 4)
+    f = jax.random.uniform(rng_f, (batch.num_graphs,), maxval=sub_frac_max)
+    k_sub = jnp.floor(f * batch.graph_n_nodes).astype(jnp.int32)
+    rng_ss, rng_st = jax.random.split(rng_s)
+    if start_rng is not None:
+        rng_ss = start_rng
+    removed = _subgraph_removal(batch, rng_ss, rng_st, k_sub, max_waves,
+                                start_rank_slot, tile)
+    return _finish_mix(batch, removed, rng_n, rng_b, node_frac, bond_keep,
+                       tile, bond_window)
+
+
+@partial(jax.jit,
+         static_argnames=("sub_frac_max", "node_frac", "bond_keep",
+                          "max_waves", "tile", "bond_window"))
+def paired_mix_augment(batch, rng_i, rng_j, rng_start,
+                       sub_frac_max: float = 0.2, node_frac: float = 0.25,
+                       bond_keep: float = 0.75, max_waves: int = 32,
+                       tile: int = 0, bond_window: int = 0):
+    """Both mix views in one program with the BFS sweeps batched (see
+    paired_subgraph_augment). Bit-identical to two mix_augment calls with
+    start_rank_slot 0/1 sharing start_rng."""
+    k_subs, rng_ts, rng_ns, rng_bs = [], [], [], []
+    for r in (rng_i, rng_j):
+        rng_f, rng_s, rng_n, rng_b = jax.random.split(r, 4)
+        f = jax.random.uniform(rng_f, (batch.num_graphs,),
+                               maxval=sub_frac_max)
+        k_subs.append(jnp.floor(f * batch.graph_n_nodes).astype(jnp.int32))
+        rng_ts.append(jax.random.split(rng_s)[1])
+        rng_ns.append(rng_n)
+        rng_bs.append(rng_b)
+    rem_i, rem_j = _subgraph_removal_pair(batch, rng_start, rng_ts,
+                                          k_subs, max_waves, tile)
+    return (_finish_mix(batch, rem_i, rng_ns[0], rng_bs[0], node_frac,
+                        bond_keep, tile, bond_window),
+            _finish_mix(batch, rem_j, rng_ns[1], rng_bs[1], node_frac,
+                        bond_keep, tile, bond_window))
+
+
 # jit-wrapped node_augment (no static args beyond fractions)
 node_augment = partial(jax.jit, static_argnames=("node_frac", "bond_frac",
                                                  "tile",
@@ -355,16 +445,12 @@ def paired_augment(batch, rng, kind: str = "node", tile: int = 0,
         return (node_augment(batch, rng_i, **kwargs),
                 node_augment(batch, rng_j, **kwargs))
     if kind == "subgraph":
-        # shared start ranking + slots 0/1 -> distinct start atoms per view
-        # (no bond ranking: bonds drop by removed endpoints)
-        return (subgraph_augment(batch, rng_i, start_rank_slot=0,
-                                 start_rng=rng_start, **kwargs),
-                subgraph_augment(batch, rng_j, start_rank_slot=1,
-                                 start_rng=rng_start, **kwargs))
+        # shared start ranking + slots 0/1 -> distinct start atoms per
+        # view (no bond ranking: bonds drop by removed endpoints); both
+        # views' BFS sweeps batch into the same wave matmuls
+        return paired_subgraph_augment(batch, rng_i, rng_j, rng_start,
+                                       **kwargs)
     if kind == "mix":
         kwargs["bond_window"] = bond_window
-        return (mix_augment(batch, rng_i, start_rank_slot=0,
-                            start_rng=rng_start, **kwargs),
-                mix_augment(batch, rng_j, start_rank_slot=1,
-                            start_rng=rng_start, **kwargs))
+        return paired_mix_augment(batch, rng_i, rng_j, rng_start, **kwargs)
     raise ValueError(f"unknown augmentation kind {kind!r}")

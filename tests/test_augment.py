@@ -243,3 +243,42 @@ class TestWindowedBondRanks:
                        max_graph_bonds=3)  # aspirin has 13 bonds
         with pytest.raises(PackOverflow):
             pack_batch(gs, spec)
+
+
+class TestPairedBatchedBfs:
+    """paired_augment's batched two-view BFS (one [T, tile, 2] wave sweep)
+    must be bit-identical to two sequential single-view calls with
+    start_rank_slot 0/1 sharing start_rng."""
+
+    FIELDS = ("atom_type", "chirality", "edge_mask", "nbr_mask")
+
+    @pytest.mark.parametrize("tile", [0, 32])
+    @pytest.mark.parametrize("kind", ["subgraph", "mix"])
+    def test_paired_matches_sequential(self, kind, tile):
+        from molclr_tpu.data.augment import (paired_mix_augment,
+                                             paired_subgraph_augment)
+        from molclr_tpu.data.loader import spec_for_graphs
+
+        gs = [featurize_smiles(s) for s in SMILES]
+        spec = spec_for_graphs(gs, len(gs), tile=tile, sizing="max")
+        batch = pack_batch(gs, spec)
+        w = spec.max_graph_bonds
+        ri, rj, rs = jax.random.split(jax.random.PRNGKey(13), 3)
+        if kind == "subgraph":
+            seq = (subgraph_augment(batch, ri, start_rank_slot=0,
+                                    start_rng=rs, tile=tile),
+                   subgraph_augment(batch, rj, start_rank_slot=1,
+                                    start_rng=rs, tile=tile))
+            par = paired_subgraph_augment(batch, ri, rj, rs, tile=tile)
+        else:
+            seq = (mix_augment(batch, ri, start_rank_slot=0, start_rng=rs,
+                               tile=tile, bond_window=w),
+                   mix_augment(batch, rj, start_rank_slot=1, start_rng=rs,
+                               tile=tile, bond_window=w))
+            par = paired_mix_augment(batch, ri, rj, rs, tile=tile,
+                                     bond_window=w)
+        for a, b in zip(seq, par):
+            for f in self.FIELDS:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+                    err_msg=f"{kind} {f} tile={tile}")

@@ -219,8 +219,18 @@ class BatchIterator:
                 try:
                     gb = pack_batch(batch_graphs, self.spec)
                     break
-                except PackOverflow:
-                    drop = int(np.argmax([g.n_atoms for g in batch_graphs]))
+                except PackOverflow as e:
+                    # drop the molecule responsible for the violated bound:
+                    # a bond/edge overflow (possible when a spec is reused
+                    # against a corpus it was not sized from) must evict the
+                    # bond-heaviest molecule, not repeatedly evict large-by-
+                    # atoms but bond-light ones (advisor finding r1)
+                    msg = str(e)
+                    if "bond" in msg or "edges" in msg:
+                        key = [g.edge_src.shape[0] for g in batch_graphs]
+                    else:
+                        key = [g.n_atoms for g in batch_graphs]
+                    drop = int(np.argmax(key))
                     batch_graphs.pop(drop)
                     idx.pop(drop)
                     dropped += 1

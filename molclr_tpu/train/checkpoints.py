@@ -178,6 +178,18 @@ def load_checkpoint(path: str, template: Any) -> Any:
         if "jax.local_devices" not in str(e):
             raise
         ptc = ocp.PyTreeCheckpointer()
+        if template is not None:
+            # Restore INTO the template structure: a bare PyTreeCheckpointer
+            # restore returns tuples/NamedTuples as lists/dicts, which
+            # mangles e.g. an optax opt_state (first tx.update would fail
+            # with 'dict' has no attribute 'mu'). item=template keeps the
+            # original container types; a saved-tree/template mismatch
+            # raises and propagates, which callers use to detect
+            # weights-only checkpoints.
+            restore_args = jax.tree_util.tree_map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), template)
+            return ptc.restore(os.path.abspath(path), item=template,
+                               restore_args=restore_args)
         meta = ptc.metadata(os.path.abspath(path)).item_metadata
         restore_args = jax.tree_util.tree_map(
             lambda _: ocp.RestoreArgs(restore_type=np.ndarray),

@@ -71,3 +71,36 @@ def test_load_checkpoint_cross_platform_fallback(tmp_path, monkeypatch):
                                   tree["params"]["w"])
     np.testing.assert_array_equal(restored["batch_stats"]["m"],
                                   tree["batch_stats"]["m"])
+
+
+def test_load_checkpoint_cross_platform_templated(tmp_path, monkeypatch):
+    """Templated cross-platform restore must preserve container types: an
+    optax opt_state is a chain of tuples/NamedTuples, and a raw
+    PyTreeCheckpointer restore turns those into lists/dicts, which breaks
+    the first tx.update after a full-state resume (advisor finding r1)."""
+    import jax
+    import optax
+    import orbax.checkpoint as ocp
+
+    params = {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    tx = optax.adam(1e-3)
+    tree = {"params": params, "opt_state": tx.init(params),
+            "step": 7, "epoch": 2}
+    path = ckpt_lib.save_checkpoint(str(tmp_path / "ckpt"), 7, tree)
+
+    def boom(self, *a, **k):
+        raise ValueError("Device TPU v5 lite0 was not found in "
+                         "jax.local_devices().")
+
+    monkeypatch.setattr(ocp.StandardCheckpointer, "restore", boom)
+    template = {"params": params, "opt_state": tx.init(params),
+                "step": 0, "epoch": 0}
+    full = ckpt_lib.load_checkpoint(path, template)
+    # structure preserved: same treedef as the template, .mu reachable
+    assert (jax.tree_util.tree_structure(full)
+            == jax.tree_util.tree_structure(template))
+    assert int(full["step"]) == 7 and int(full["epoch"]) == 2
+    # the restored opt_state is actually usable by optax
+    grads = {"w": np.ones_like(params["w"])}
+    updates, _ = tx.update(grads, full["opt_state"], full["params"])
+    assert np.isfinite(np.asarray(updates["w"])).all()

@@ -117,6 +117,27 @@ class TestPack:
         with pytest.raises(PackOverflow):
             pack_batch([g], PadSpec(1, 8, 16, max_degree=3))
 
+    def test_iterator_drops_bond_heavy_offender(self):
+        """A bond-bound PackOverflow must evict the bond-heaviest molecule,
+        not the atom-largest: cubane (8 atoms, 12 bonds) violates a
+        max_graph_bonds=10 spec while the decane chain (10 atoms, 9 bonds)
+        fits; the atom-based heuristic would evict the innocent chain first
+        (advisor finding r1)."""
+        import warnings
+
+        from molclr_tpu.data.loader import BatchIterator
+
+        cube = featurize_smiles("C12C3C4C1C5C2C3C45")
+        chain = featurize_smiles("CCCCCCCCCC")
+        spec = PadSpec(n_graphs=2, n_nodes=64, n_edges=64, max_degree=4,
+                       max_graph_bonds=10)
+        it = BatchIterator([chain, cube], spec, shuffle=False,
+                           drop_last=False)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            [(gb, _, idx)] = list(it)
+        assert list(idx) == [0]  # chain survives, cubane evicted
+
 
 class TestAggregate:
     def rand_h(self, batch, d=16, seed=0):

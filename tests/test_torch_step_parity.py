@@ -1,0 +1,299 @@
+"""Train-step parity vs the pure-torch oracle (tests/torch_oracle.py).
+
+Pins per-step LOSS, parameter GRADIENTS, post-Adam PARAMETERS and BN
+running stats of the JAX framework against torch autograd over 3
+consecutive optimizer steps — for both encoders (GIN/GCN), both
+aggregation paths (scatter-free ELL and tile-dense MXU), the pretrain
+NT-Xent recipe (ref molclr.py:55-67,84-91) and the fine-tune CE/MSE/L1
+recipes with the two-LR Adam groups (ref finetune.py:89-102,167-178).
+
+This converts round-1's eval-forward parity into training-dynamics parity:
+if losses, gradients and Adam updates match torch step-for-step, training
+trajectories match wherever the data pipeline feeds identical inputs.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+import torch_oracle as to
+from molclr_tpu.data import featurize_smiles, pack_batch
+from molclr_tpu.data.featurize import MASK_ATOM_TYPE
+from molclr_tpu.data.loader import spec_for_graphs
+from molclr_tpu.losses import nt_xent_loss
+from molclr_tpu.models import FineTuneNet, MolCLRNet
+from molclr_tpu.train.optim import adam_torch, two_group_adam
+
+SMILES = [
+    "CC(=O)Oc1ccccc1C(=O)O",            # aspirin
+    "Cn1cnc2c1c(=O)n(C)c(=O)n2C",       # caffeine
+    "CCO",
+    "N#Cc1ccc(Cl)cc1",
+    "c1ccc2ccccc2c1",                   # naphthalene
+    "CC(N)C(=O)O",                      # alanine
+    "C1CCOC1",                          # THF
+    "ClC(Cl)(Cl)Cl",                    # degree-4 carbon
+]
+
+torch.set_num_threads(1)  # determinism on the 2-vCPU host
+
+
+def masked_view(g):
+    """Deterministic second view: first atom masked to [118, 0]
+    (the node-augmentation mask token, ref dataset/dataset.py:123)."""
+    at = g.atom_type.copy()
+    ch = g.chirality.copy()
+    at[0] = MASK_ATOM_TYPE
+    ch[0] = 0
+    return dataclasses.replace(g, atom_type=at, chirality=ch)
+
+
+def make_views(tile):
+    gi = [featurize_smiles(s) for s in SMILES]
+    gj = [masked_view(g) for g in gi]
+    spec = spec_for_graphs(gi, len(gi), tile=tile, sizing="max")
+    return gi, gj, pack_batch(gi, spec), pack_batch(gj, spec)
+
+
+def tree_add(params, updates):
+    return jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+
+
+def compare_states(jstate, tmodel, tgrads0, what, steps, lr=5e-4,
+                   tight=True):
+    """Parameter comparison after Adam steps, eps-region aware.
+
+    Adam's update m/(sqrt(v)+eps) amplifies fp32 roundoff on elements whose
+    TRUE gradient is ~0 (e.g. conv-output biases feeding straight into
+    BatchNorm — mean subtraction makes their exact gradient 0, so fp32
+    leaves ~1e-9 noise of arbitrary sign): with v ~ 0, a sign difference
+    flips an entire lr-sized step, so the worst-case legitimate divergence
+    is 2*lr per step — the sign-flip envelope asserted for EVERY element.
+    With tight=True (meaningful only right after the FIRST update, before
+    the drifted params contaminate subsequent gradients), elements whose
+    step-0 |gradient| > 1e-4 must additionally track tightly — there
+    Adam's update is sign-stable and agrees to ~the gradient tolerance.
+    BN running stats are checked on the final state: running_var is
+    shift-invariant and must stay tight; running_mean inherits the
+    conv-output-bias drift (a pure shift BN cancels in the output but
+    records in its mean) and gets the envelope."""
+    cap = 2.0 * steps * lr
+    tstate = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    for k, v in jstate.items():
+        t = np.asarray(tstate[k], dtype=np.float64)
+        if "running_" in k:
+            atol = cap if k.endswith("running_mean") else 1e-5
+            np.testing.assert_allclose(
+                v, tstate[k], rtol=2e-3, atol=atol,
+                err_msg=f"{what}: BN stat mismatch at {k}")
+            continue
+        diff = np.abs(np.asarray(v, dtype=np.float64) - t)
+        assert diff.max() <= cap, (
+            f"{what}: {k} max abs diff {diff.max():.2e} exceeds the Adam "
+            f"sign-flip envelope ({cap})")
+        if not tight:
+            continue
+        real = np.abs(np.asarray(tgrads0[k], np.float64)) > 1e-4
+        bad = diff[real] > 5e-5 + 2e-4 * np.abs(t[real])
+        # the permitted step-0 gradient noise (atol 1e-5) alone allows a
+        # ~10% update error for |g| near the 1e-4 threshold, so a handful
+        # of borderline elements per ~100k may exceed the tight tolerance
+        # legitimately; require 99.97% tight (a semantic bug moves ~all)
+        frac = float(bad.mean()) if bad.size else 0.0
+        assert frac <= 3e-4, (
+            f"{what}: {k} has {int(bad.sum())}/{int(real.sum())} "
+            f"({frac:.4%}) real-gradient elements outside the tight "
+            f"tolerance (max diff {diff[real].max():.2e})")
+
+
+def compare_moments(opt_state, opt, tmodel, gnn_type, what):
+    """Pin the Adam moments right after the FIRST update: mu vs torch
+    exp_avg (rtol 2e-4 — same scale as gradients, NO rsqrt amplification)
+    and nu vs exp_avg_sq. At that point both optimizers have consumed the
+    same step-0 gradients at identical params, so matching moments proves
+    bias-correction/beta/wd-ordering parity exactly; after later steps the
+    moments would inherit the eps-region param drift."""
+    import optax
+
+    is_adam = lambda x: isinstance(x, optax.ScaleByAdamState)
+    adam = [s for s in jax.tree_util.tree_leaves(opt_state, is_leaf=is_adam)
+            if is_adam(s)][0]
+    jmu = to.export_torch_state(adam.mu, None, gnn_type=gnn_type)
+    jnu = to.export_torch_state(adam.nu, None, gnn_type=gnn_type)
+    tstate = {k: opt.state[p] for k, p in tmodel.named_parameters()}
+    for k in jmu:
+        texp = tstate[k]["exp_avg"].numpy()
+        np.testing.assert_allclose(
+            jmu[k], texp, rtol=2e-4, atol=5e-6,
+            err_msg=f"{what}: Adam mu mismatch at {k}")
+        np.testing.assert_allclose(
+            jnu[k], tstate[k]["exp_avg_sq"].numpy(), rtol=5e-4, atol=1e-10,
+            err_msg=f"{what}: Adam nu mismatch at {k}")
+
+
+def compare_grads(jax_grads, torch_named_grads, gnn_type, rtol, atol):
+    jg = to.export_torch_state(jax_grads, None, gnn_type=gnn_type)
+    for k, v in jg.items():
+        assert k in torch_named_grads, f"missing torch grad for {k}"
+        np.testing.assert_allclose(
+            v, torch_named_grads[k], rtol=rtol, atol=atol,
+            err_msg=f"grad mismatch at {k}")
+
+
+@pytest.mark.parametrize("gnn_type,tile", [
+    ("gin", 0), ("gin", 32), ("gcn", 0), ("gcn", 32)])
+def test_pretrain_step_parity(gnn_type, tile):
+    gi, gj, bi, bj = make_views(tile)
+
+    model = MolCLRNet(gnn_type=gnn_type, tile=tile, drop_ratio=0.0)
+    variables = model.init(jax.random.PRNGKey(0), bi, train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+
+    tmodel = to.TorchNet(gnn_type=gnn_type)
+    to.load_into_torch(tmodel, to.export_torch_state(
+        params, stats, gnn_type=gnn_type))
+    tmodel.train()
+    opt = torch.optim.Adam(tmodel.parameters(), lr=5e-4, weight_decay=1e-5)
+    tb_i = to.batch_graphs(gi)
+    tb_j = to.batch_graphs(gj)
+
+    def loss_fn(params, stats, bi, bj):
+        # two sequential train-mode forwards (ref molclr.py:57-60):
+        # BN batch stats per view, running stats updated twice
+        (_, zi), upd = model.apply(
+            {"params": params, "batch_stats": stats}, bi, train=True,
+            mutable=["batch_stats"])
+        (_, zj), upd = model.apply(
+            {"params": params, "batch_stats": upd["batch_stats"]}, bj,
+            train=True, mutable=["batch_stats"])
+        return nt_xent_loss(zi, zj, 0.1, True), upd["batch_stats"]
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+    tx = adam_torch(5e-4, 1e-5)
+    opt_state = tx.init(params)
+
+    for step in range(3):
+        (loss, stats), grads = grad_fn(params, stats, bi, bj)
+
+        opt.zero_grad()
+        tloss = to.pretrain_step_loss(tmodel, tb_i, tb_j)
+        tloss.backward()
+        np.testing.assert_allclose(
+            float(loss), float(tloss.detach()),
+            rtol=1e-5 if step == 0 else 1e-3,
+            atol=0.0 if step == 0 else 2e-5,
+            err_msg=f"loss diverged at step {step}")
+        if step == 0:
+            tgrads = {k: p.grad.detach().numpy().copy()
+                      for k, p in tmodel.named_parameters()}
+            compare_grads(grads, tgrads, gnn_type, rtol=2e-4, atol=1e-5)
+        opt.step()
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = tree_add(params, updates)
+        if step == 0:
+            # clean points: moments + tight param tracking after the FIRST
+            # update (identical inputs to both optimizers)
+            compare_moments(opt_state, opt, tmodel, gnn_type,
+                            what=f"{gnn_type}/tile={tile} after 1 step")
+            compare_states(
+                to.export_torch_state(params, stats, gnn_type=gnn_type),
+                tmodel, tgrads, steps=1,
+                what=f"{gnn_type}/tile={tile} after 1 step")
+
+    compare_states(
+        to.export_torch_state(params, stats, gnn_type=gnn_type), tmodel,
+        tgrads, steps=3, tight=False,
+        what=f"{gnn_type}/tile={tile} after 3 steps")
+
+
+@pytest.mark.parametrize("task,torch_loss", [
+    ("classification", "ce"), ("regression", "mse"), ("regression", "l1")])
+def test_finetune_step_parity(task, torch_loss):
+    gi = [featurize_smiles(s) for s in SMILES]
+    spec = spec_for_graphs(gi, len(gi), sizing="max")
+    batch = pack_batch(gi, spec)
+    tb = to.batch_graphs(gi)
+
+    rng = np.random.RandomState(7)
+    if task == "classification":
+        y_np = rng.randint(0, 2, size=len(gi))
+        ty = torch.tensor(y_np, dtype=torch.long)
+    else:
+        y_np = rng.randn(len(gi)).astype(np.float32)
+        ty = torch.tensor(y_np[:, None])
+    y = jnp.asarray(y_np)
+
+    model = FineTuneNet(task=task, gnn_type="gin", drop_ratio=0.0)
+    variables = model.init(jax.random.PRNGKey(1), batch, train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+
+    tmodel = to.TorchNet(gnn_type="gin", task=task)
+    to.load_into_torch(tmodel, to.export_torch_state(params, stats))
+    tmodel.train()
+    # two-LR Adam groups (ref finetune.py:167-178), structural split:
+    # head = pred_head.* at init_lr 5e-4, encoder at init_base_lr 1e-4
+    head = [p for k, p in tmodel.named_parameters()
+            if k.startswith("pred_head")]
+    base = [p for k, p in tmodel.named_parameters()
+            if not k.startswith("pred_head")]
+    opt = torch.optim.Adam(
+        [{"params": base, "lr": 1e-4}, {"params": head}],
+        lr=5e-4, weight_decay=1e-5)
+
+    def loss_fn(params, stats, batch, y):
+        (_, pred), upd = model.apply(
+            {"params": params, "batch_stats": stats}, batch, train=True,
+            mutable=["batch_stats"])
+        # compute_loss transcription (train/finetune.py:272-281), all
+        # graphs real so the mask weighting is a plain mean
+        if task == "classification":
+            import optax
+
+            per = optax.softmax_cross_entropy_with_integer_labels(
+                pred, y.astype(jnp.int32))
+        elif torch_loss == "mse":
+            per = (pred[:, 0] - y) ** 2
+        else:
+            per = jnp.abs(pred[:, 0] - y)
+        return per.mean(), upd["batch_stats"]
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+    tx = two_group_adam(params, head_lr=5e-4, base_lr=1e-4,
+                        weight_decay=1e-5)
+    opt_state = tx.init(params)
+
+    criterion = {"ce": torch.nn.CrossEntropyLoss(),
+                 "mse": torch.nn.MSELoss(),
+                 "l1": torch.nn.L1Loss()}[torch_loss]
+
+    for step in range(3):
+        (loss, stats), grads = grad_fn(params, stats, batch, y)
+
+        opt.zero_grad()
+        _, pred = tmodel(tb)
+        tloss = criterion(pred, ty)
+        tloss.backward()
+        np.testing.assert_allclose(
+            float(loss), float(tloss.detach()),
+            rtol=1e-5 if step == 0 else 1e-3,
+            atol=0.0 if step == 0 else 2e-5,
+            err_msg=f"{task}/{torch_loss} loss diverged at step {step}")
+        if step == 0:
+            tgrads = {k: p.grad.detach().numpy().copy()
+                      for k, p in tmodel.named_parameters()}
+            compare_grads(grads, tgrads, "gin", rtol=2e-4, atol=1e-5)
+        opt.step()
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = tree_add(params, updates)
+        if step == 0:
+            compare_states(to.export_torch_state(params, stats), tmodel,
+                           tgrads, steps=1,
+                           what=f"{task}/{torch_loss} after 1 step")
+
+    compare_states(to.export_torch_state(params, stats), tmodel, tgrads,
+                   steps=3, tight=False,
+                   what=f"{task}/{torch_loss} after 3 steps")

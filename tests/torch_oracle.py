@@ -1,0 +1,260 @@
+"""Pure-torch (NO PyG) transcription of the reference training step.
+
+An independent second implementation of the reference's model + loss +
+optimizer semantics, used to pin TRAIN-STEP parity (loss, gradients,
+post-Adam parameters, BN running stats) of the JAX framework against torch
+autograd — the best available proxy for the unreachable fine-tune ROC-AUC
+gate (real MoleculeNet CSVs are not in this environment).
+
+Transcribed semantics, cited:
+  encoder trunk    ref models/ginet_molclr.py:98-117 / gcn_molclr.py:139-158
+  GINEConv         ref models/ginet_molclr.py:16-47 (message x_j + e, sum
+                   aggregation incl. type-4 self-loops, MLP d->2d->relu->d,
+                   no epsilon)
+  GCNConv          ref models/gcn_molclr.py:39-91 (x @ W first, scalar edge
+                   embeddings, quirk Q2: normalization discarded)
+  pred head        ref models/ginet_finetune.py:96-127
+  NT-Xent          ref utils/nt_xent.py:24-65 (mask semantics included)
+  pretrain step    ref molclr.py:55-67,84-91 (two sequential encoder
+                   forwards, F.normalize, Adam(lr, weight_decay))
+  fine-tune step   ref finetune.py:89-102,167-178 (CE / MSE / L1, two-LR
+                   Adam param groups)
+
+PyG's MessagePassing/scatter machinery is replaced by torch.index_add_ on
+batched edge lists — numerically the same sum aggregation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+from torch import nn
+
+SELF_LOOP_BOND_TYPE = 4
+
+
+def batch_graphs(graphs):
+    """Concatenate MolGraphs into one batched edge list with self-loops
+    appended per the reference conv (ginet_molclr.py:31-37). Returns a dict
+    of torch tensors."""
+    atom_type, chirality = [], []
+    src, dst, bt, bd = [], [], [], []
+    node_graph = []
+    off = 0
+    for gi, g in enumerate(graphs):
+        n = g.n_atoms
+        atom_type.append(g.atom_type)
+        chirality.append(g.chirality)
+        src.append(g.edge_src + off)
+        dst.append(g.edge_dst + off)
+        bt.append(g.bond_type)
+        bd.append(g.bond_dir)
+        node_graph.append(np.full(n, gi))
+        off += n
+    # self-loops for every node, appended after all real edges (the
+    # reference appends them inside each conv; the set is identical)
+    loops = np.arange(off)
+    src.append(loops)
+    dst.append(loops)
+    bt.append(np.full(off, SELF_LOOP_BOND_TYPE))
+    bd.append(np.zeros(off, dtype=np.int64))
+
+    t = lambda xs, dt: torch.tensor(np.concatenate(xs), dtype=dt)
+    return {
+        "atom_type": t(atom_type, torch.long),
+        "chirality": t(chirality, torch.long),
+        "src": t(src, torch.long),
+        "dst": t(dst, torch.long),
+        "bond_type": t(bt, torch.long),
+        "bond_dir": t(bd, torch.long),
+        "node_graph": t(node_graph, torch.long),
+        "n_graphs": len(graphs),
+        "n_nodes": off,
+    }
+
+
+class TorchGINEConv(nn.Module):
+    def __init__(self, emb_dim):
+        super().__init__()
+        self.mlp = nn.Sequential(nn.Linear(emb_dim, 2 * emb_dim), nn.ReLU(),
+                                 nn.Linear(2 * emb_dim, emb_dim))
+        self.edge_embedding1 = nn.Embedding(5, emb_dim)
+        self.edge_embedding2 = nn.Embedding(3, emb_dim)
+
+    def forward(self, x, b):
+        e = self.edge_embedding1(b["bond_type"]) \
+            + self.edge_embedding2(b["bond_dir"])
+        msgs = x[b["src"]] + e
+        agg = torch.zeros_like(x).index_add_(0, b["dst"], msgs)
+        return self.mlp(agg)
+
+
+class TorchGCNConv(nn.Module):
+    """Quirk-Q2-faithful: unnormalized sum aggregation."""
+
+    def __init__(self, emb_dim):
+        super().__init__()
+        self.weight = nn.Parameter(torch.empty(emb_dim, emb_dim))
+        self.bias = nn.Parameter(torch.zeros(emb_dim))
+        self.edge_embedding1 = nn.Embedding(5, 1)
+        self.edge_embedding2 = nn.Embedding(3, 1)
+
+    def forward(self, x, b):
+        xw = x @ self.weight
+        e = self.edge_embedding1(b["bond_type"]) \
+            + self.edge_embedding2(b["bond_dir"])          # [E, 1]
+        msgs = xw[b["src"]] + e
+        agg = torch.zeros_like(x).index_add_(0, b["dst"], msgs)
+        return agg + self.bias
+
+
+class TorchNet(nn.Module):
+    """Reference encoder + (projection | prediction) head, torch-schema
+    parameter names (state-dict compatible with the reference checkpoints).
+
+    task=None -> pretrain net returning (h, z) (out_lin projection head);
+    task='classification'/'regression' -> fine-tune net (pred_head)."""
+
+    def __init__(self, gnn_type="gin", num_layers=5, emb_dim=300,
+                 feat_dim=512, task=None, pred_n_layer=2,
+                 pred_act="softplus", pool="mean"):
+        super().__init__()
+        self.num_layers, self.pool, self.task = num_layers, pool, task
+        self.x_embedding1 = nn.Embedding(119, emb_dim)
+        self.x_embedding2 = nn.Embedding(3, emb_dim)
+        conv = TorchGINEConv if gnn_type == "gin" else TorchGCNConv
+        self.gnns = nn.ModuleList(conv(emb_dim) for _ in range(num_layers))
+        self.batch_norms = nn.ModuleList(
+            nn.BatchNorm1d(emb_dim) for _ in range(num_layers))
+        self.feat_lin = nn.Linear(emb_dim, feat_dim)
+        if task is None:
+            self.out_lin = nn.Sequential(
+                nn.Linear(feat_dim, feat_dim), nn.ReLU(),
+                nn.Linear(feat_dim, feat_dim // 2))
+        else:
+            act = nn.Softplus if pred_act == "softplus" else nn.ReLU
+            out_dim = 2 if task == "classification" else 1
+            half = feat_dim // 2
+            head = [nn.Linear(feat_dim, half), act()]
+            for _ in range(max(1, pred_n_layer) - 1):
+                head.extend([nn.Linear(half, half), act()])
+            head.append(nn.Linear(half, out_dim))
+            self.pred_head = nn.Sequential(*head)
+
+    def forward(self, b):
+        h = self.x_embedding1(b["atom_type"]) \
+            + self.x_embedding2(b["chirality"])
+        for layer in range(self.num_layers):
+            h = self.gnns[layer](h, b)
+            h = self.batch_norms[layer](h)
+            if layer != self.num_layers - 1:
+                h = F.relu(h)
+        # global mean pool over each graph's nodes
+        g = b["n_graphs"]
+        sums = torch.zeros(g, h.shape[1], dtype=h.dtype).index_add_(
+            0, b["node_graph"], h)
+        counts = torch.zeros(g, dtype=h.dtype).index_add_(
+            0, b["node_graph"], torch.ones(b["n_nodes"], dtype=h.dtype))
+        hg = sums / counts[:, None]
+        hg = self.feat_lin(hg)
+        if self.task is None:
+            return hg, self.out_lin(hg)
+        return hg, self.pred_head(hg)
+
+
+def torch_nt_xent(zis, zjs, temperature=0.1, use_cosine=True):
+    """Literal reference loss (utils/nt_xent.py:24-65) in torch."""
+    bsz = zis.shape[0]
+    reps = torch.cat([zjs, zis], dim=0)
+    if use_cosine:
+        sim = F.cosine_similarity(reps.unsqueeze(1), reps.unsqueeze(0),
+                                  dim=2)
+    else:
+        sim = reps @ reps.T
+    n = 2 * bsz
+    l_pos = torch.diag(sim, bsz)
+    r_pos = torch.diag(sim, -bsz)
+    positives = torch.cat([l_pos, r_pos]).view(n, 1)
+    mask = ~(np.eye(n, dtype=bool) | np.eye(n, k=bsz, dtype=bool)
+             | np.eye(n, k=-bsz, dtype=bool))
+    negatives = sim[torch.tensor(mask)].view(n, -1)
+    logits = torch.cat([positives, negatives], dim=1) / temperature
+    labels = torch.zeros(n, dtype=torch.long)
+    return F.cross_entropy(logits, labels, reduction="sum") / n
+
+
+def pretrain_step_loss(model, bi, bj, temperature=0.1, use_cosine=True):
+    """ref molclr.py:55-67: two sequential forwards (train-mode BN updates
+    twice), F.normalize, NT-Xent."""
+    _, zis = model(bi)
+    _, zjs = model(bj)
+    zis = F.normalize(zis, dim=1)
+    zjs = F.normalize(zjs, dim=1)
+    return torch_nt_xent(zis, zjs, temperature, use_cosine)
+
+
+# ---- JAX <-> torch schema bridge ----
+
+def export_torch_state(params, stats=None, num_layers=5, gnn_type="gin",
+                       pred_n_layer=2):
+    """Map a molclr_tpu param tree (+ optional batch_stats) onto the torch
+    reference state-dict schema as numpy arrays. Works on any tree with the
+    model's structure — including gradient trees (pass stats=None)."""
+    state = {}
+    tr = params["trunk"]
+    state["x_embedding1.weight"] = np.asarray(tr["x_embedding1"])
+    state["x_embedding2.weight"] = np.asarray(tr["x_embedding2"])
+    for l in range(num_layers):
+        c = tr[f"conv_{l}"]
+        state[f"gnns.{l}.edge_embedding1.weight"] = np.asarray(
+            c["edge_embedding1"])
+        state[f"gnns.{l}.edge_embedding2.weight"] = np.asarray(
+            c["edge_embedding2"])
+        if gnn_type == "gin":
+            state[f"gnns.{l}.mlp.0.weight"] = np.asarray(
+                c["mlp_0"]["kernel"]).T
+            state[f"gnns.{l}.mlp.0.bias"] = np.asarray(c["mlp_0"]["bias"])
+            state[f"gnns.{l}.mlp.2.weight"] = np.asarray(
+                c["mlp_1"]["kernel"]).T
+            state[f"gnns.{l}.mlp.2.bias"] = np.asarray(c["mlp_1"]["bias"])
+        else:
+            state[f"gnns.{l}.weight"] = np.asarray(c["weight"])  # x @ W
+            state[f"gnns.{l}.bias"] = np.asarray(c["bias"])
+        bn = tr[f"bn_{l}"]
+        state[f"batch_norms.{l}.weight"] = np.asarray(bn["scale"])
+        state[f"batch_norms.{l}.bias"] = np.asarray(bn["bias"])
+        if stats is not None:
+            sbn = stats["trunk"][f"bn_{l}"]
+            state[f"batch_norms.{l}.running_mean"] = np.asarray(sbn["mean"])
+            state[f"batch_norms.{l}.running_var"] = np.asarray(sbn["var"])
+    state["feat_lin.weight"] = np.asarray(params["feat_lin"]["kernel"]).T
+    state["feat_lin.bias"] = np.asarray(params["feat_lin"]["bias"])
+    if "out_lin_0" in params:
+        state["out_lin.0.weight"] = np.asarray(
+            params["out_lin_0"]["kernel"]).T
+        state["out_lin.0.bias"] = np.asarray(params["out_lin_0"]["bias"])
+        state["out_lin.2.weight"] = np.asarray(
+            params["out_lin_1"]["kernel"]).T
+        state["out_lin.2.bias"] = np.asarray(params["out_lin_1"]["bias"])
+    if "pred_0" in params:
+        chain = ["pred_0"] + [f"pred_{i}" for i in
+                              range(1, max(1, pred_n_layer))] + ["pred_out"]
+        for j, name in enumerate(chain):
+            state[f"pred_head.{2 * j}.weight"] = np.asarray(
+                params[name]["kernel"]).T
+            state[f"pred_head.{2 * j}.bias"] = np.asarray(
+                params[name]["bias"])
+    return state
+
+
+def load_into_torch(model: nn.Module, state: dict) -> None:
+    """Load an exported numpy state dict into the torch oracle model."""
+    tensors = {k: torch.tensor(np.ascontiguousarray(v))
+               for k, v in state.items()}
+    missing, unexpected = model.load_state_dict(tensors, strict=False)
+    # only BN bookkeeping (num_batches_tracked) and, for grad trees,
+    # running stats may be absent; anything else is a schema bug
+    for k in missing:
+        assert "num_batches_tracked" in k or "running_" in k, k
+    assert not unexpected, unexpected

@@ -251,6 +251,13 @@ class Pretrainer:
                 temperature=cfg.temperature,
                 use_cosine=cfg.use_cosine_similarity, axis=cfg.data_axis,
                 tile=cfg.model.tile, bond_window=bond_window)
+            from molclr_tpu.parallel import build_dp_multi_step_resident
+
+            self._dp_multi_resident = build_dp_multi_step_resident(
+                model, self.tx, self.mesh, aug=cfg.aug,
+                temperature=cfg.temperature,
+                use_cosine=cfg.use_cosine_similarity, axis=cfg.data_axis,
+                tile=cfg.model.tile, bond_window=bond_window)
             self._train_step = None
             self._multi_step = None
         else:
@@ -262,6 +269,7 @@ class Pretrainer:
         self._eval_multi = jax.jit(eval_multi)
         self._eval_stack = None
         self._device_stack = None
+        self._dp_shard_size = 0
         self._device_cache_used_mb = 0.0
 
     # ---- loops ----
@@ -315,10 +323,12 @@ class Pretrainer:
 
     def _maybe_upload_cache(self, log):
         """Once the host batch cache exists (after the first full epoch),
-        stack it and upload to HBM if it fits the device_cache_mb budget."""
+        stack it and upload to HBM if it fits the device_cache_mb budget.
+        Under data parallelism the cache is SHARDED across the mesh (each
+        device holds 1/n_dev of the epoch; per-shard shuffling thereafter),
+        so the budget check is per-device."""
         cfg = self.cfg
-        if (self._device_stack is not None or cfg.data_axis
-                or not cfg.device_cache_mb):
+        if self._device_stack is not None or not cfg.device_cache_mb:
             return
         cache = getattr(self.train_iter, "cache", None)
         if not cache:
@@ -327,9 +337,27 @@ class Pretrainer:
         per = sum(np.asarray(x).nbytes
                   for x in jax.tree_util.tree_leaves(batches[0]))
         total_mb = per * len(batches) / 2**20
-        if self._device_cache_used_mb + total_mb > cfg.device_cache_mb:
-            log(f"packed-batch cache {total_mb:.0f} MB exceeds "
+        n_dev = self.mesh.shape[cfg.data_axis] if cfg.data_axis else 1
+        per_dev_mb = total_mb / n_dev
+        if self._device_cache_used_mb + per_dev_mb > cfg.device_cache_mb:
+            log(f"packed-batch cache {per_dev_mb:.0f} MB/device exceeds "
                 f"device_cache_mb={cfg.device_cache_mb}; staying host-side")
+            return
+        if cfg.data_axis:
+            from molclr_tpu.parallel import shard_batch_cache
+
+            if len(batches) < n_dev:
+                log(f"{len(batches)} cached batches < {n_dev} devices; "
+                    f"staying host-side")
+                return
+            self._device_stack, self._dp_shard_size, dropped = (
+                shard_batch_cache(batches, self.mesh, cfg.data_axis))
+            self._device_cache_used_mb += per_dev_mb
+            msg = (f" ({dropped} remainder batches dropped at device "
+                   f"granularity)" if dropped else "")
+            log(f"uploaded {len(batches) - dropped}-batch cache sharded "
+                f"over {n_dev} devices ({per_dev_mb:.0f} MB/device); "
+                f"epochs are now transfer-free{msg}")
             return
         self._device_cache_used_mb += total_mb
         stacked = jax.tree_util.tree_map(
@@ -337,6 +365,24 @@ class Pretrainer:
         self._device_stack = jax.device_put(stacked)
         log(f"uploaded {len(batches)}-batch cache ({total_mb:.0f} MB) to "
             f"device; epochs are now transfer-free")
+
+    def _dp_epoch_orders(self):
+        """Per-device local batch orders [n_dev, S] for one epoch over the
+        sharded cache, derived from the iterator's global shuffle stream
+        (device d's row is a permutation of its own shard in the relative
+        order the global permutation induces)."""
+        order = self.train_iter.cached_epoch_order()
+        n_dev = self.mesh.shape[self.cfg.data_axis]
+        s = self._dp_shard_size
+        per_dev = np.zeros((n_dev, s), dtype=np.int32)
+        pos = np.zeros(n_dev, dtype=np.int64)
+        for o in order:
+            if o >= s * n_dev:
+                continue    # remainder batch not in the sharded stack
+            d = o // s
+            per_dev[d, pos[d]] = o % s
+            pos[d] += 1
+        return per_dev
 
     def validate(self, rng) -> float:
         if self._eval_stack is not None:
@@ -397,7 +443,19 @@ class Pretrainer:
                 t0 = time.time()
                 losses = []
                 pending = []
-                if self._device_stack is not None:
+                if self._device_stack is not None and cfg.data_axis:
+                    # DP device-resident epoch: scan-folded dispatches over
+                    # the SHARDED HBM cache; the only upload per dispatch is
+                    # the [n_dev, S] index matrix
+                    per_dev = self._dp_epoch_orders()
+                    fold = max(1, cfg.steps_per_dispatch)
+                    for lo in range(0, per_dev.shape[1], fold):
+                        idxs = jnp.asarray(per_dev[:, lo : lo + fold])
+                        self.state, loss_arr = self._dp_multi_resident(
+                            self.state, self._device_stack, idxs, rng)
+                        losses.extend(float(x) for x in np.asarray(loss_arr))
+                    self._log_step(log, epoch, losses, cfg)
+                elif self._device_stack is not None:
                     # device-resident epoch: dispatch scans over index vectors
                     # into the HBM batch cache; nothing but indices is uploaded
                     order = self.train_iter.cached_epoch_order()
@@ -422,6 +480,7 @@ class Pretrainer:
                     # remainder smaller than one device-group is dropped
                     # (drop_last at superbatch granularity)
                     losses.extend(self._dispatch(pending, rng, log, epoch, cfg))
+                    self._maybe_upload_cache(log)
                 else:
                     # host path (corpus exceeds the HBM cache budget or first
                     # epoch): the prefetch thread packs, STACKS and UPLOADS the

@@ -440,6 +440,11 @@ def paired_augment(batch, rng, kind: str = "node", tile: int = 0,
     bond_window = spec.max_graph_bonds to rank bonds without a sort."""
     rng_i, rng_j, rng_start = jax.random.split(rng, 3)
     kwargs["tile"] = tile
+    if kind == "none":
+        # identity views: both branches see the raw batch (debug/benchmark
+        # baseline, and the layout-equality tests of parallel/partition.py
+        # where stochastic draws would differ between shardings)
+        return batch, batch
     if kind == "node":
         kwargs["bond_window"] = bond_window
         return (node_augment(batch, rng_i, **kwargs),

@@ -132,6 +132,58 @@ class PackOverflow(ValueError):
     pass
 
 
+def concat_shards(batches: list) -> GraphBatch:
+    """Concatenate S same-shape GraphBatches into ONE packed batch with
+    globally-renumbered node/graph/bond ids — jit-compatible pure array
+    ops. Equal-size segments make the result shardable across a device
+    mesh with a plain PartitionSpec on every array's leading axis (the
+    edge-partition layout, parallel/partition.py); the tile contract keeps
+    every segment self-contained, so localize_shard can recover the exact
+    original sub-batch on-device."""
+    import jax.numpy as jnp
+
+    a = batches[0]
+    n, g, s = a.num_nodes, a.num_graphs, len(batches)
+    bmax = a.num_bonds
+
+    def shift_bond(x, i):
+        # preserve the sentinel-bond-id invariant: the per-shard sentinel
+        # (== per-shard n_bonds) must map to the CONCATENATED sentinel
+        # s*bmax, never to a real bond of another shard
+        return jnp.where(x == bmax, s * bmax, x + i * bmax)
+
+    def cat(field, shift=None):
+        xs = [getattr(b, field) for b in batches]
+        if shift is not None:
+            xs = [x + i * shift for i, x in enumerate(xs)]
+        return jnp.concatenate(xs)
+
+    return GraphBatch(
+        atom_type=cat("atom_type"),
+        chirality=cat("chirality"),
+        node_graph=cat("node_graph", g),
+        node_mask=cat("node_mask"),
+        src=cat("src", n),
+        dst=cat("dst", n),
+        bond_type=cat("bond_type"),
+        bond_dir=cat("bond_dir"),
+        edge_bond=jnp.concatenate(
+            [shift_bond(b.edge_bond, i) for i, b in enumerate(batches)]),
+        edge_mask=cat("edge_mask"),
+        nbr=cat("nbr", n),
+        nbr_bond_type=cat("nbr_bond_type"),
+        nbr_bond_dir=cat("nbr_bond_dir"),
+        nbr_bond=jnp.concatenate(
+            [shift_bond(b.nbr_bond, i) for i, b in enumerate(batches)]),
+        nbr_mask=cat("nbr_mask"),
+        bond_graph=cat("bond_graph", g),
+        bond_mask=cat("bond_mask"),
+        graph_mask=cat("graph_mask"),
+        graph_n_nodes=cat("graph_n_nodes"),
+        graph_n_bonds=cat("graph_n_bonds"),
+    )
+
+
 def concat_views(a: GraphBatch, b: GraphBatch) -> GraphBatch:
     """Concatenate two same-shape GraphBatches (e.g. the two contrastive
     views) into one packed batch — jit-compatible pure array ops.
@@ -142,42 +194,7 @@ def concat_views(a: GraphBatch, b: GraphBatch) -> GraphBatch:
     sequentially, molclr.py:57-60 — a code-structure artifact, not a
     modeling choice; set pretrain config concat_views=False to reproduce
     its sequential-BN semantics.)"""
-    import jax.numpy as jnp
-
-    n, e, g = a.num_nodes, a.num_edges, a.num_graphs
-    bmax = a.num_bonds
-    cat = jnp.concatenate
-
-    def shift_bond(x, off):
-        # preserve the sentinel-bond-id invariant: sentinel (== per-view
-        # n_bonds) must map to the CONCATENATED sentinel 2*bmax, never to a
-        # real bond of the other view
-        return jnp.where(x == bmax, 2 * bmax, x + off)
-
-    return GraphBatch(
-        atom_type=cat([a.atom_type, b.atom_type]),
-        chirality=cat([a.chirality, b.chirality]),
-        node_graph=cat([a.node_graph, b.node_graph + g]),
-        node_mask=cat([a.node_mask, b.node_mask]),
-        src=cat([a.src, b.src + n]),
-        dst=cat([a.dst, b.dst + n]),
-        bond_type=cat([a.bond_type, b.bond_type]),
-        bond_dir=cat([a.bond_dir, b.bond_dir]),
-        edge_bond=cat([shift_bond(a.edge_bond, 0),
-                       shift_bond(b.edge_bond, bmax)]),
-        edge_mask=cat([a.edge_mask, b.edge_mask]),
-        nbr=cat([a.nbr, b.nbr + n]),
-        nbr_bond_type=cat([a.nbr_bond_type, b.nbr_bond_type]),
-        nbr_bond_dir=cat([a.nbr_bond_dir, b.nbr_bond_dir]),
-        nbr_bond=cat([shift_bond(a.nbr_bond, 0),
-                      shift_bond(b.nbr_bond, bmax)]),
-        nbr_mask=cat([a.nbr_mask, b.nbr_mask]),
-        bond_graph=cat([a.bond_graph, b.bond_graph + g]),
-        bond_mask=cat([a.bond_mask, b.bond_mask]),
-        graph_mask=cat([a.graph_mask, b.graph_mask]),
-        graph_n_nodes=cat([a.graph_n_nodes, b.graph_n_nodes]),
-        graph_n_bonds=cat([a.graph_n_bonds, b.graph_n_bonds]),
-    )
+    return concat_shards([a, b])
 
 
 def pack_batch(graphs: list[MolGraph], spec: PadSpec,

@@ -10,11 +10,19 @@ from molclr_tpu.parallel.dp import (
     shard_batch_cache,
     stack_batches,
 )
+from molclr_tpu.parallel.partition import (
+    build_partitioned_pretrain_step,
+    localize_shard,
+    shard_graph_batch,
+)
 
 __all__ = [
     "build_dp_multi_step_resident",
     "build_dp_pretrain_step",
+    "build_partitioned_pretrain_step",
+    "localize_shard",
     "make_mesh",
     "shard_batch_cache",
+    "shard_graph_batch",
     "stack_batches",
 ]

@@ -69,7 +69,7 @@ def perceive_aromaticity(mol: Mol) -> Mol:
         incident[b.a1].append(bi)
         incident[b.a2].append(bi)
 
-    aromatic_rings: list[list[int]] = []
+    ring_info = []   # (ring, eligible, total)
     for ring in rings:
         members = set(ring)
         total = 0
@@ -80,8 +80,13 @@ def perceive_aromaticity(mol: Mol) -> Mol:
                 ok = False
                 break
             total += c
-        if ok and total % 4 == 2:
-            aromatic_rings.append(ring)
+        ring_info.append((ring, ok, total))
+
+    aromatic_ids = {i for i, (_, ok, total) in enumerate(ring_info)
+                    if ok and total % 4 == 2}
+    aromatic_ids |= _fused_envelope_pass(mol, ring_info, aromatic_ids,
+                                         incident, ring_atom)
+    aromatic_rings = [ring_info[i][0] for i in sorted(aromatic_ids)]
 
     if not aromatic_rings:
         return mol
@@ -102,6 +107,96 @@ def perceive_aromaticity(mol: Mol) -> Mol:
                 and mol.valence_model_hs(a) != h_before[a]:
             mol.atoms[a].explicit_hs = h_before[a]
     return mol
+
+
+_MAX_FUSED_RINGS = 10    # envelope subsets enumerated per fused component
+
+
+def _fused_envelope_pass(mol, ring_info, aromatic_ids, incident, ring_atom):
+    """Ring-UNION Hückel for fused systems whose individual rings fail the
+    electron count (azulene's 5+7, indolizine's bridgehead-N 6-ring):
+    RDKit's sanitization aromatizes a connected union of candidate rings
+    when the union's pi total is 4n+2.
+
+    Key simplification: for an eligible atom the contribution is
+    member-set INDEPENDENT — a double bond into the ring and a double bond
+    to a fused ring's atom both contribute 1 — so a union's count is the
+    plain sum of per-atom contributions over its atom set. Enumerate
+    connected subsets (shared-bond adjacency, components capped at
+    _MAX_FUSED_RINGS rings) containing at least one not-yet-aromatic ring;
+    a passing union aromatizes all its member rings. Returns the set of
+    newly aromatic ring indices."""
+    eligible = [i for i, (_, ok, _) in enumerate(ring_info) if ok]
+    if len(eligible) < 2:
+        return set()
+
+    # static per-atom contributions over all eligible rings' atoms
+    contrib: dict[int, int] = {}
+    for i in eligible:
+        ring = ring_info[i][0]
+        members = set(ring)
+        for a in ring:
+            if a not in contrib:
+                contrib[a] = _contribution(mol, a, members, incident,
+                                           ring_atom)
+
+    def bonds_of(ring):
+        return {frozenset((u, v))
+                for u, v in zip(ring, ring[1:] + ring[:1])}
+
+    ring_bonds = {i: bonds_of(ring_info[i][0]) for i in eligible}
+    adj = {i: set() for i in eligible}
+    for x in range(len(eligible)):
+        for y in range(x + 1, len(eligible)):
+            i, j = eligible[x], eligible[y]
+            if ring_bonds[i] & ring_bonds[j]:
+                adj[i].add(j)
+                adj[j].add(i)
+
+    # connected components of the fused-ring graph
+    new_ids: set[int] = set()
+    seen: set[int] = set()
+    for root in eligible:
+        if root in seen or not adj[root]:
+            seen.add(root)
+            continue
+        comp = []
+        stack = [root]
+        while stack:
+            u = stack.pop()
+            if u in seen:
+                continue
+            seen.add(u)
+            comp.append(u)
+            stack.extend(adj[u] - seen)
+        if len(comp) < 2 or len(comp) > _MAX_FUSED_RINGS:
+            continue
+        for mask in range(3, 1 << len(comp)):
+            subset = [comp[k] for k in range(len(comp))
+                      if mask >> k & 1]
+            if len(subset) < 2:
+                continue
+            if all(i in aromatic_ids or i in new_ids for i in subset):
+                continue    # nothing new to aromatize
+            if not _connected(subset, adj):
+                continue
+            union = {a for i in subset for a in ring_info[i][0]}
+            if sum(contrib[a] for a in union) % 4 == 2:
+                new_ids.update(subset)
+    return new_ids
+
+
+def _connected(subset, adj):
+    s = set(subset)
+    stack = [subset[0]]
+    seen = set()
+    while stack:
+        u = stack.pop()
+        if u in seen:
+            continue
+        seen.add(u)
+        stack.extend(adj[u] & s - seen)
+    return seen == s
 
 
 def _contribution(mol: Mol, a: int, members: set[int], incident, ring_atom):

@@ -522,6 +522,7 @@ void perceive_aromaticity(Mol& m) {
   }
 
   bool aromatic_ring[MAX_SSSR];
+  bool eligible[MAX_SSSR];
   bool any = false;
   bool in_set[MAX_ATOMS];
   for (int r = 0; r < n_rings; ++r) {
@@ -535,8 +536,127 @@ void perceive_aromaticity(Mol& m) {
       if (c < 0) ok = false;
       else total += c;
     }
+    eligible[r] = ok;
     aromatic_ring[r] = ok && (total % 4 == 2);
     any |= aromatic_ring[r];
+  }
+
+  // ---- fused-ring envelope pass (mirrors _fused_envelope_pass in
+  // chem/aromatic.py): an eligible atom's contribution is member-set
+  // independent (in-ring double and fused-ring double both give 1), so a
+  // connected union of eligible rings is aromatic iff the sum over its
+  // atom set is 4n+2 (azulene 5+7, indolizine bridgehead-N 6-ring).
+  constexpr int MAX_FUSED = 10;
+  {
+    // static per-atom contributions (member set := all ring atoms)
+    int ac[MAX_ATOMS];
+    for (int i = 0; i < n; ++i) ac[i] = -9;
+    for (int r = 0; r < n_rings; ++r) {
+      if (!eligible[r]) continue;
+      for (int k = 0; k < ring_len[r]; ++k) {
+        int a = rings_buf[r][k];
+        if (ac[a] == -9)
+          ac[a] = pi_contribution(m, a, ring_atom, ring_atom, inc[a],
+                                  deg[a]);
+      }
+    }
+    // shared-bond ring adjacency over eligible rings
+    static thread_local bool rbond[MAX_SSSR][MAX_BONDS];
+    for (int r = 0; r < n_rings; ++r) {
+      if (!eligible[r]) continue;
+      memset(rbond[r], 0, sizeof(bool) * m.n_bonds);
+      int len = ring_len[r];
+      for (int k = 0; k < len; ++k) {
+        int u = rings_buf[r][k], v = rings_buf[r][(k + 1) % len];
+        for (int bj = 0; bj < m.n_bonds; ++bj) {
+          const Bond& b = m.bonds[bj];
+          if ((b.a1 == u && b.a2 == v) || (b.a1 == v && b.a2 == u))
+            rbond[r][bj] = true;
+        }
+      }
+    }
+    bool radj[MAX_SSSR][MAX_SSSR];
+    for (int r = 0; r < n_rings; ++r)
+      for (int s = 0; s < n_rings; ++s) radj[r][s] = false;
+    for (int r = 0; r < n_rings; ++r) {
+      if (!eligible[r]) continue;
+      for (int s = r + 1; s < n_rings; ++s) {
+        if (!eligible[s]) continue;
+        for (int bj = 0; bj < m.n_bonds; ++bj)
+          if (rbond[r][bj] && rbond[s][bj]) {
+            radj[r][s] = radj[s][r] = true;
+            break;
+          }
+      }
+    }
+    // connected components, then subset enumeration per component
+    bool visited[MAX_SSSR];
+    memset(visited, 0, sizeof(bool) * n_rings);
+    for (int root = 0; root < n_rings; ++root) {
+      if (visited[root] || !eligible[root]) continue;
+      int comp[MAX_SSSR];
+      int csz = 0;
+      int stack[MAX_SSSR];
+      int sp = 0;
+      stack[sp++] = root;
+      visited[root] = true;
+      while (sp) {
+        int u = stack[--sp];
+        comp[csz++] = u;
+        for (int v = 0; v < n_rings; ++v)
+          if (radj[u][v] && !visited[v]) {
+            visited[v] = true;
+            stack[sp++] = v;
+          }
+      }
+      if (csz < 2 || csz > MAX_FUSED) continue;
+      for (int mask = 3; mask < (1 << csz); ++mask) {
+        int bits = 0;
+        bool all_arom = true;
+        for (int k = 0; k < csz; ++k)
+          if (mask >> k & 1) {
+            bits++;
+            all_arom = all_arom && aromatic_ring[comp[k]];
+          }
+        if (bits < 2 || all_arom) continue;
+        // subset connectivity over radj
+        int first = 0;
+        while (!(mask >> first & 1)) first++;
+        int seen_mask = 1 << first;
+        int order[MAX_FUSED];
+        int osz = 0, bp = 0;
+        order[osz++] = first;
+        while (bp < osz) {
+          int ku = order[bp++];
+          for (int kv = 0; kv < csz; ++kv)
+            if ((mask >> kv & 1) && !(seen_mask >> kv & 1) &&
+                radj[comp[ku]][comp[kv]]) {
+              seen_mask |= 1 << kv;
+              order[osz++] = kv;
+            }
+        }
+        if (seen_mask != mask) continue;
+        // union atom set + electron total
+        memset(in_set, 0, sizeof(bool) * n);
+        int total = 0;
+        for (int k = 0; k < csz; ++k) {
+          if (!(mask >> k & 1)) continue;
+          int r = comp[k];
+          for (int j = 0; j < ring_len[r]; ++j) {
+            int a = rings_buf[r][j];
+            if (!in_set[a]) {
+              in_set[a] = true;
+              total += ac[a];
+            }
+          }
+        }
+        if (total % 4 == 2) {
+          for (int k = 0; k < csz; ++k)
+            if (mask >> k & 1) aromatic_ring[comp[k]] = true;
+          any = true;
+        }
+      }
+    }
   }
   if (!any) return;
 

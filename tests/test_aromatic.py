@@ -22,6 +22,12 @@ EQUIVALENT = [
     ("caffeine", "CN1C(=O)N(C)c2ncn(C)c2C1=O",
      "Cn1cnc2c1c(=O)n(C)c(=O)n2C"),
     ("2-pyridone", "O=C1C=CC=CN1", "O=c1cccc[nH]1"),
+    # fused-envelope Hückel cases (ring-by-ring fails; the UNION is 4n+2 —
+    # perceived by _fused_envelope_pass, mirroring RDKit sanitization)
+    ("azulene", "C1=CC2=CC=CC=CC2=C1", "c1ccc2cccc2cc1"),
+    ("indolizine", "C1=CC2=CC=CN2C=C1", "c1ccn2cccc2c1"),
+    ("biphenylene", "C1=CC2=C(C=C1)C1=CC=CC=C1-2",
+     "c1ccc2-c3ccccc3-c2c1"),
 ]
 
 NON_AROMATIC = [
@@ -31,7 +37,31 @@ NON_AROMATIC = [
     ("cyclooctatetraene", "C1=CC=CC=CC=C1"),  # 8 pi e
     ("fulvene", "C=C1C=CC=C1"),               # exocyclic C=C
     ("cyclopentadiene", "C1=CC=CC1"),          # sp3 CH2 breaks the ring
+    ("pentalene", "C1=CC2=CC=CC2=C1"),         # union 8 pi e, stays Kekulé
 ]
+
+
+def test_fused_envelope_all_atoms_aromatic():
+    """Azulene and indolizine from Kekulé spellings: EVERY ring atom ends
+    aromatic (the union pass covers both rings)."""
+    for smi, n_atoms in [("C1=CC2=CC=CC=CC2=C1", 10),
+                         ("C1=CC2=CC=CN2C=C1", 9)]:
+        mol = parse_smiles(smi)
+        assert len(mol.atoms) == n_atoms
+        assert all(a.is_aromatic for a in mol.atoms), smi
+        assert all(b.bond_type == BondType.AROMATIC for b in mol.bonds), smi
+
+
+def test_biphenylene_bridge_bonds_stay_single():
+    """Biphenylene's benzene rings aromatize but the 4-ring's two
+    connecting bonds stay SINGLE (the union count is 8 or 12, never
+    4n+2) — matching RDKit."""
+    mol = parse_smiles("C1=CC2=C(C=C1)C1=CC=CC=C1-2")
+    singles = [b for b in mol.bonds if b.bond_type == BondType.SINGLE]
+    aroms = [b for b in mol.bonds if b.bond_type == BondType.AROMATIC]
+    assert len(singles) == 2
+    assert len(aroms) == 12
+    assert all(a.is_aromatic for a in mol.atoms)
 
 
 @pytest.mark.parametrize("name,kekule,aromatic", EQUIVALENT)

@@ -235,6 +235,91 @@ class TestBrics:
                 assert 0 <= c1 < len(cliques) and 0 <= c2 < len(cliques)
 
 
+class TestBrics16Environments:
+    """The exact 16-environment rule table (Degen et al. 2008), validated
+    on RDKit's own BRICS example fragmentations (fragment sets from the
+    rdkit.Chem.BRICS module doctests, dummies dropped)."""
+
+    @staticmethod
+    def frag_keys(smi, rules="brics16"):
+        from molclr_tpu.chem.brics import clique_mol_smiles, find_brics_bonds
+
+        m = parse_smiles(smi)
+        cut = {frozenset(b) for b in find_brics_bonds(m, rules=rules)}
+        adj = m.adjacency()
+        comp = [-1] * m.num_atoms
+        parts = []
+        for i in range(m.num_atoms):
+            if comp[i] != -1:
+                continue
+            comp[i] = len(parts)
+            members, stack = [i], [i]
+            while stack:
+                u = stack.pop()
+                for v, _ in adj[u]:
+                    if comp[v] == -1 and frozenset((u, v)) not in cut:
+                        comp[v] = comp[i]
+                        members.append(v)
+                        stack.append(v)
+            parts.append(members)
+        return len(cut), sorted(clique_mol_smiles(m, p) for p in parts)
+
+    def test_rdkit_doctest_molecule(self):
+        # BRICSDecompose('CCCOCc1cc(c2ncccc2)ccc1') ->
+        # ['[14*]c1ccccn1','[16*]c1cccc([16*])c1','[3*]O[3*]',
+        #  '[4*]CCC','[4*]C[8*]'] — 4 cuts, 5 fragments
+        n, frags = self.frag_keys("CCCOCc1cc(-c2ncccc2)ccc1")
+        assert n == 4
+        assert len(frags) == 5
+        assert "CCC" in frags and "O" in frags and "C" in frags
+
+    def test_anisole_aryl_ether(self):
+        # (3,16): O-aryl cut; the O-CH3 bond survives (CH3 is D1)
+        n, frags = self.frag_keys("COc1ccccc1")
+        assert n == 1 and "CO" in frags
+
+    def test_amide_1_5(self):
+        n, frags = self.frag_keys("CC(=O)NC")
+        assert n == 1 and sorted(frags) == ["CC=O", "CN"]
+
+    def test_ester_both_sides(self):
+        # ethyl propanoate: (1,3) acyl-O and (3,4) O-alkyl
+        n, frags = self.frag_keys("CCOC(=O)CC")
+        assert n == 2 and "O" in frags
+
+    def test_ch2ch2_not_cut(self):
+        # no (8,8) pair: the ethano bridge survives, both aryl bonds cut
+        n, frags = self.frag_keys("c1ccccc1CCc1ncccc1")
+        assert n == 2 and "CC" in frags
+
+    def test_olefin_l7(self):
+        # stilbene: only the L7=L7 double-bond cut (vinyl C fails L4/L8)
+        n, frags = self.frag_keys("c1ccccc1C=Cc1ccccc1")
+        assert n == 1 and len(frags) == 2
+
+    def test_lactam_not_cut_at_n(self):
+        # 2-piperidinone N is L10 (lactam), excluded from L5; no acyclic
+        # single bond qualifies -> no cuts
+        n, _ = self.frag_keys("O=C1CCCCN1")
+        assert n == 0
+
+    def test_no_cut_molecules(self):
+        for s in ["c1ccccc1", "CCO", "C1CCCCC1", "CC", "C=C"]:
+            n, _ = self.frag_keys(s)
+            assert n == 0, s
+
+    def test_sulfonamide_5_12(self):
+        # N-methylmethanesulfonamide CS(=O)(=O)NC: (5,12) cut at S-N
+        n, frags = self.frag_keys("CS(=O)(=O)NC")
+        assert n == 1 and "CN" in frags
+
+    def test_approx_rules_still_available(self):
+        # the round-1 rule set remains selectable for vocab compatibility
+        n16, _ = self.frag_keys("CC(=O)NC", rules="brics16")
+        napx, _ = self.frag_keys("CC(=O)NC", rules="approx")
+        assert n16 == 1 and napx == 1
+
+
 class TestCorpusFuzz:
     """Corpus-scale robustness: every synthetic-corpus SMILES must parse,
     canonicalize to a fixpoint, keep its formula through the round-trip,

@@ -123,11 +123,23 @@ def spec_for_graphs(graphs: list[MolGraph], batch_size: int,
     tile > 0 requests tile-aligned packing (see PadSpec): node capacity is
     rounded up to a tile multiple with extra headroom for boundary
     fragmentation (worst-case waste per tile is max_atoms-1 slots; the
-    average first-fit waste on molecular corpora is ~half a molecule)."""
-    data_max_deg = max((g.max_degree for g in graphs), default=max_degree)
+    average first-fit waste on molecular corpora is ~half a molecule).
+
+    `graphs` may be a list of MolGraphs or a DiskCorpus/CorpusSubset
+    (data/corpus.py) — the latter exposes vectorized atom_counts/
+    edge_counts/max_degrees so sizing a 10M-molecule corpus never
+    iterates Python objects."""
+    if hasattr(graphs, "atom_counts"):
+        atoms = np.asarray(graphs.atom_counts)
+        edges = np.asarray(graphs.edge_counts)
+        data_max_deg = int(np.asarray(graphs.max_degrees).max()) \
+            if len(atoms) else max_degree
+    else:
+        data_max_deg = max((g.max_degree for g in graphs),
+                           default=max_degree)
+        atoms = np.array([g.n_atoms for g in graphs])
+        edges = np.array([g.edge_src.shape[0] for g in graphs])
     max_degree = min(max_degree, max(1, data_max_deg))
-    atoms = np.array([g.n_atoms for g in graphs])
-    edges = np.array([g.edge_src.shape[0] for g in graphs])
     if len(atoms) == 0:
         atoms, edges = np.array([1]), np.array([2])
     # corpus bound for the sort-free windowed bond ranking (data/augment.py)

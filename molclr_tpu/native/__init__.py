@@ -180,6 +180,57 @@ def featurize_corpus_native(smiles_list: list[str], add_hs: bool = False):
     return graphs, kept
 
 
+def featurize_corpus_flat(smiles_list: list[str], add_hs: bool = False):
+    """Batch featurization returning FLAT arrays (the on-disk corpus
+    layout, data/corpus.py) instead of MolGraph objects:
+    (nodes dict, edges dict, atom_counts, edge_counts) with failed parses
+    dropped and molecule-local edge indices. None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = ("\n".join(smiles_list) + "\n").encode()
+    n_mols = len(smiles_list)
+    per_mol = 4 if not add_hs else 8
+    acap = max(1 << 16, per_mol * len(buf) + MAX_ATOMS)
+    ecap = max(1 << 17, 2 * per_mol * len(buf) + 2 * MAX_BONDS)
+    at = np.empty(acap, np.int32)
+    ch = np.empty(acap, np.int32)
+    es = np.empty(ecap, np.int32)
+    ed = np.empty(ecap, np.int32)
+    bt = np.empty(ecap, np.int32)
+    bd = np.empty(ecap, np.int32)
+    aoff = np.empty(n_mols + 1, np.int64)
+    eoff = np.empty(n_mols + 1, np.int64)
+    ok = np.empty(n_mols, np.int32)
+
+    def p32(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    def p64(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    lib.mtpu_featurize_batch(
+        buf, len(buf), int(add_hs), p32(at), p32(ch), p32(es), p32(ed),
+        p32(bt), p32(bd), p64(aoff), p64(eoff), p32(ok),
+        acap, ecap, n_mols)
+    if (acap - aoff[n_mols] < MAX_ATOMS
+            or ecap - eoff[n_mols] < 2 * MAX_BONDS):
+        return None    # capacity exhaustion; caller falls back
+    acnt = np.diff(aoff)
+    ecnt = np.diff(eoff)
+    keep = ok.astype(bool)
+    # drop failed molecules' (empty) segments: gather kept slices
+    node_keep = np.repeat(keep, acnt)
+    edge_keep = np.repeat(keep, ecnt)
+    nodes = {"atom_type": np.ascontiguousarray(at[: aoff[-1]][node_keep]),
+             "chirality": np.ascontiguousarray(ch[: aoff[-1]][node_keep])}
+    edges = {"edge_src": np.ascontiguousarray(es[: eoff[-1]][edge_keep]),
+             "edge_dst": np.ascontiguousarray(ed[: eoff[-1]][edge_keep]),
+             "bond_type": np.ascontiguousarray(bt[: eoff[-1]][edge_keep]),
+             "bond_dir": np.ascontiguousarray(bd[: eoff[-1]][edge_keep])}
+    return nodes, edges, acnt[keep], ecnt[keep]
+
+
 def pack_batch_native(graphs, spec):
     """Native equivalent of data.graphs.pack_batch: pack featurized
     MolGraphs into one padded GraphBatch via one C call (~10x the Python

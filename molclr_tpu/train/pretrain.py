@@ -51,32 +51,70 @@ class Pretrainer:
 
     # ---- data ----
     def setup_data(self, smiles: list[str] | None = None):
+        """Featurize and split the corpus. Three sources, in precedence:
+        an explicit `smiles` list; a prepared on-disk featurized corpus
+        (cfg.data_path names a data/corpus.py directory — memory-mapped,
+        zero featurization at startup); or a SMILES text file (featurized
+        in memory, the round-1 path)."""
         cfg = self.cfg
-        if smiles is None:
-            smiles = read_pretrain_smiles(cfg.data_path)
-        graphs, _ = featurize_many(smiles, add_hs=(cfg.aug == "mix"),
-                                   max_degree=cfg.max_degree,
-                                   processes=cfg.featurize_processes)
-        rng = np.random.RandomState(cfg.seed)
-        order = rng.permutation(len(graphs))
-        n_valid = int(len(graphs) * cfg.valid_size)
-        valid_ids, train_ids = order[:n_valid], order[n_valid:]
-        self.spec = spec_for_graphs(graphs, cfg.batch_size, cfg.max_degree,
-                                    cfg.pad_slack, cfg.pad_quantile,
-                                    tile=cfg.model.tile,
-                                    sizing=cfg.pad_sizing)
+        from molclr_tpu.data.corpus import is_disk_corpus
+
+        if smiles is None and cfg.data_path \
+                and is_disk_corpus(cfg.data_path):
+            from molclr_tpu.data.corpus import CorpusSubset, DiskCorpus
+
+            corpus = DiskCorpus(cfg.data_path)
+            if bool(corpus.meta.get("add_hs")) != (cfg.aug == "mix"):
+                raise ValueError(
+                    f"corpus {cfg.data_path} was built with add_hs="
+                    f"{corpus.meta.get('add_hs')} but aug={cfg.aug!r} "
+                    f"needs add_hs={cfg.aug == 'mix'}; rebuild with "
+                    f"cli.featurize --add-hs accordingly")
+            keep = np.flatnonzero(
+                np.asarray(corpus.max_degrees) <= cfg.max_degree)
+            rng = np.random.RandomState(cfg.seed)
+            order = keep[rng.permutation(len(keep))]
+            n_valid = int(len(order) * cfg.valid_size)
+            valid_ids, train_ids = order[:n_valid], order[n_valid:]
+            train = CorpusSubset(corpus, train_ids)
+            valid = CorpusSubset(corpus, valid_ids)
+            self.spec = spec_for_graphs(
+                CorpusSubset(corpus, keep), cfg.batch_size,
+                cfg.max_degree, cfg.pad_slack, cfg.pad_quantile,
+                tile=cfg.model.tile, sizing=cfg.pad_sizing)
+            self._mean_real_nodes = (float(train.atom_counts.mean())
+                                     * cfg.batch_size if len(train) else 0.0)
+            self._mean_real_edges = (float(train.edge_counts.mean())
+                                     * cfg.batch_size if len(train) else 0.0)
+        else:
+            if smiles is None:
+                smiles = read_pretrain_smiles(cfg.data_path)
+            graphs, _ = featurize_many(smiles, add_hs=(cfg.aug == "mix"),
+                                       max_degree=cfg.max_degree,
+                                       processes=cfg.featurize_processes)
+            rng = np.random.RandomState(cfg.seed)
+            order = rng.permutation(len(graphs))
+            n_valid = int(len(graphs) * cfg.valid_size)
+            valid_ids, train_ids = order[:n_valid], order[n_valid:]
+            train = [graphs[i] for i in train_ids]
+            valid = [graphs[i] for i in valid_ids]
+            self.spec = spec_for_graphs(graphs, cfg.batch_size,
+                                        cfg.max_degree,
+                                        cfg.pad_slack, cfg.pad_quantile,
+                                        tile=cfg.model.tile,
+                                        sizing=cfg.pad_sizing)
+            self._mean_real_nodes = float(np.mean(
+                [g.n_atoms for g in train])) * cfg.batch_size \
+                if train else 0.0
+            self._mean_real_edges = float(np.mean(
+                [g.edge_src.shape[0] for g in train])) * cfg.batch_size \
+                if train else 0.0
         self.train_iter = BatchIterator(
-            [graphs[i] for i in train_ids], self.spec, shuffle=True,
+            train, self.spec, shuffle=True,
             drop_last=True, seed=cfg.seed,
             cache_packed=0 < len(train_ids) <= cfg.pack_cache_max_mols)
-        tr = [graphs[i] for i in train_ids]
-        self._mean_real_nodes = float(np.mean([g.n_atoms for g in tr])) \
-            * cfg.batch_size if tr else 0.0
-        self._mean_real_edges = float(np.mean(
-            [g.edge_src.shape[0] for g in tr])) * cfg.batch_size \
-            if tr else 0.0
         self.valid_iter = BatchIterator(
-            [graphs[i] for i in valid_ids], self.spec, shuffle=False,
+            valid, self.spec, shuffle=False,
             drop_last=False, seed=cfg.seed,
             cache_packed=0 < len(valid_ids) <= cfg.pack_cache_max_mols)
         return self

@@ -41,24 +41,41 @@ class MotifVocab:
         return self.mol_motifs.shape[1]
 
 
+def mol_fragment_keys(smiles: str) -> list[str]:
+    """Canonical-SMILES keys of one molecule's BRICS fragments, sorted
+    largest-first (the expensive per-molecule decomposition step; cacheable
+    across a multi-target task's columns)."""
+    mol = parse_smiles(smiles, strict=False)
+    if mol is None or mol.num_atoms == 0:
+        return []
+    cliques, _ = brics_decompose(mol)
+    cliques.sort(key=len, reverse=True)
+    return [clique_mol_smiles(mol, atoms) for atoms in cliques]
+
+
 def build_motif_vocab(smiles_list: list[str],
-                      max_motifs_per_mol: int = 12) -> MotifVocab:
+                      max_motifs_per_mol: int = 12,
+                      fragment_keys: list[list[str]] | None = None) \
+        -> MotifVocab:
     """Decompose all molecules and build the vocabulary + per-molecule motif
     id arrays (ref finetune.py:104-119). Molecules with more motifs than
-    max_motifs_per_mol keep their largest-first prefix."""
+    max_motifs_per_mol keep their largest-first prefix.
+
+    `fragment_keys`: optional precomputed mol_fragment_keys per molecule
+    (aligned with smiles_list) — multi-target tasks decompose each
+    molecule once and reuse across target columns."""
     vocab: dict[str, int] = {}
     per_mol: list[list[int]] = []
-    for s in smiles_list:
-        mol = parse_smiles(s, strict=False)
+    for mi, s in enumerate(smiles_list):
+        if fragment_keys is not None:
+            keys = fragment_keys[mi][:max_motifs_per_mol]
+        else:
+            keys = mol_fragment_keys(s)[:max_motifs_per_mol]
         ids: list[int] = []
-        if mol is not None and mol.num_atoms > 0:
-            cliques, _ = brics_decompose(mol)
-            cliques.sort(key=len, reverse=True)
-            for atoms in cliques[:max_motifs_per_mol]:
-                key = clique_mol_smiles(mol, atoms)
-                if key not in vocab:
-                    vocab[key] = len(vocab)
-                ids.append(vocab[key])
+        for key in keys:
+            if key not in vocab:
+                vocab[key] = len(vocab)
+            ids.append(vocab[key])
         per_mol.append(ids)
 
     c_max = max(1, max((len(x) for x in per_mol), default=1))

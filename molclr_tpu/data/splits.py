@@ -28,10 +28,14 @@ def generate_scaffold(smiles: str) -> str:
 
 
 def scaffold_split(smiles_list: list[str], valid_size: float = 0.1,
-                   test_size: float = 0.1):
+                   test_size: float = 0.1, keys: list[str] | None = None):
+    """`keys`: optional precomputed scaffold keys aligned with
+    smiles_list (multi-target tasks compute them once per molecule and
+    reuse across target columns)."""
     scaffolds: dict[str, list[int]] = {}
     for idx, s in enumerate(smiles_list):
-        scaffolds.setdefault(generate_scaffold(s), []).append(idx)
+        k = keys[idx] if keys is not None else generate_scaffold(s)
+        scaffolds.setdefault(k, []).append(idx)
     scaffold_sets = [
         sorted(v) for v in sorted(
             scaffolds.values(), key=lambda v: (len(v), v[0]), reverse=True)

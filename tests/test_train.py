@@ -240,6 +240,78 @@ class TestDataParallelTraining:
             assert sorted(row.tolist()) == list(range(pre._dp_shard_size))
 
 
+class TestSharedTaskData:
+    """Multi-target featurization sharing (SharedTaskData): one CSV read /
+    featurize / scaffold / BRICS pass reused across target columns, with
+    results identical to per-target fresh computation."""
+
+    def test_shared_caches_match_fresh(self, tmp_path):
+        from molclr_tpu.data.tasks import TASKS
+        from molclr_tpu.train.finetune import SharedTaskData
+
+        cfg = FineTuneConfig(task_name="ClinTox", data_root=str(tmp_path),
+                             batch_size=16, epochs=1, model=SMALL,
+                             synthetic_n=150, seed=0, use_motifs=True,
+                             ckpt_dir=str(tmp_path / "ft"))
+        shared = SharedTaskData(cfg, TASKS["ClinTox"])
+        for target in TASKS["ClinTox"].targets:
+            ft_s = FineTuner(cfg, target=target).setup_data(shared=shared)
+            ft_f = FineTuner(cfg, target=target).setup_data()  # fresh
+            assert ft_s.smiles == ft_f.smiles
+            np.testing.assert_array_equal(ft_s.labels, ft_f.labels)
+            assert ft_s.split == ft_f.split
+            assert ft_s.motif_vocab.smiles == ft_f.motif_vocab.smiles
+            np.testing.assert_array_equal(ft_s.motif_vocab.mol_motifs,
+                                          ft_f.motif_vocab.mol_motifs)
+
+    def test_missing_labels_filtered_per_target(self, tmp_path):
+        from molclr_tpu.data.tasks import TASKS
+        from molclr_tpu.train.finetune import SharedTaskData
+
+        csv_dir = tmp_path / "clintox"
+        csv_dir.mkdir(parents=True)
+        (csv_dir / "clintox.csv").write_text(
+            "smiles,CT_TOX,FDA_APPROVED\n"
+            "CCO,1,\n"            # missing FDA_APPROVED
+            "CCN,0,1\n"
+            "c1ccccc1,,0\n"       # missing CT_TOX
+            "CCCC,1,0\n")
+        cfg = FineTuneConfig(task_name="ClinTox", data_root=str(tmp_path))
+        shared = SharedTaskData(cfg, TASKS["ClinTox"])
+        ids_tox, lab_tox = shared.select("CT_TOX")
+        ids_fda, lab_fda = shared.select("FDA_APPROVED")
+        assert len(ids_tox) == 3 and len(ids_fda) == 3
+        assert [shared.smiles[i] for i in ids_tox] == ["CCO", "CCN", "CCCC"]
+        assert [shared.smiles[i] for i in ids_fda] == \
+            ["CCN", "c1ccccc1", "CCCC"]
+        np.testing.assert_array_equal(lab_tox, [1, 0, 1])
+        np.testing.assert_array_equal(lab_fda, [1, 0, 0])
+
+    def test_run_all_targets_shares_featurization(self, tmp_path,
+                                                  monkeypatch):
+        """run_all_targets must featurize the corpus exactly once for all
+        target columns."""
+        import molclr_tpu.train.finetune as ftmod
+
+        calls = {"n": 0}
+        orig = ftmod.featurize_many
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return orig(*a, **k)
+
+        monkeypatch.setattr(ftmod, "featurize_many", counting)
+        cfg = FineTuneConfig(task_name="ClinTox", data_root=str(tmp_path),
+                             batch_size=16, epochs=1, model=SMALL,
+                             synthetic_n=120, seed=0,
+                             ckpt_dir=str(tmp_path / "ft"))
+        from molclr_tpu.train.finetune import run_all_targets
+
+        results = run_all_targets(cfg, log=lambda *_: None)
+        assert len(results) == 2          # ClinTox has 2 targets
+        assert calls["n"] == 1            # featurized once, not per target
+
+
 class TestSeedEnsemble:
     """cfg.n_seeds > 1: one vmapped step trains a seed ensemble whose
     members are real independent models (per-seed init, rng streams, and

@@ -198,7 +198,32 @@ def node_augment(batch, rng, node_frac: float = 0.25,
                          edge_mask=edge_mask, nbr_mask=nbr_mask)
 
 
-def _bfs_times(batch, start_flag, max_waves: int, tile: int = 0):
+def _adj_power_stack(adj, stride: int):
+    """[A^1 .. A^stride] stacked along rows: [T, stride*tile, tile].
+
+    Built by log-doubling: with powers 1..p in hand, one stacked matmul
+    [A^1..A^m] @ A^p (m = min(p, stride - p)) yields A^(p+1)..A^(p+m), so
+    the build is ceil(log2(stride)) sequential matmuls. Each power is
+    boolean-clamped to {0, 1} — entries of raw A^8 reach degree^8 and the
+    sweep only needs reachability, not walk counts (self-loops in slot 0
+    make A^m reach == 'within m waves')."""
+    powers = [adj]
+    t = adj.shape[-1]
+    while len(powers) < stride:
+        p = len(powers)
+        m = min(p, stride - p)
+        stack = jnp.concatenate(powers[:m], axis=1) if m > 1 else powers[0]
+        new = jax.lax.dot_general(
+            stack, powers[-1], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        new = (new > 0).astype(adj.dtype)
+        for i in range(m):
+            powers.append(new[:, i * t: (i + 1) * t, :])
+    return jnp.concatenate(powers, axis=1)
+
+
+def _bfs_times(batch, start_flag, max_waves: int, tile: int = 0,
+               stride: int = 1):
     """Wave index at which each node is first reached from its graph's start
     atom over the (current) ELL adjacency. Unreached nodes get _INF_TIME.
 
@@ -206,10 +231,18 @@ def _bfs_times(batch, start_flag, max_waves: int, tile: int = 0):
     [T, tile, tile] @ [T, tile, V] matmuls over the block-diagonal
     adjacency instead of per-wave [N, K] gathers — the 32 sequential
     gather waves were ~13 ms on v5e at B=512 vs ~0.5 ms for the matmul
-    form (each wave is one small MXU op reading the shared adjacency).
-    start_flag may be [N] or [N, V]: V independent start sets share one
-    wave sweep (the paired views' BFS runs batch into the same matmuls,
-    halving the sequential wave count per train step)."""
+    form. start_flag may be [N] or [N, V]: V independent start sets share
+    one wave sweep (the paired views' BFS runs batch into the same
+    matmuls).
+
+    stride = S > 1 (tile path only) adds LOG-DOUBLING: precompute the
+    boolean power stack [A^1..A^S] (ceil(log2 S) sequential matmuls), then
+    advance S waves per iteration with ONE [T, S*tile, tile] @ [T, tile,
+    V] matmul — exact wave times recovered from the monotone hit counts
+    (reach-within-m is nested in m, so the first hitting power is
+    S - sum(hits)). Sequential matmul depth drops from max_waves to
+    ceil(log2 S) + ceil(max_waves / S) (32 -> 7 at S=8); output is
+    bit-identical to stride=1 (pinned by tests/test_augment.py)."""
     if tile:
         from molclr_tpu.ops.tile_dense import build_tile_adjacency
 
@@ -221,6 +254,33 @@ def _bfs_times(batch, start_flag, max_waves: int, tile: int = 0):
         v = sf.shape[1]
         node_mask = batch.node_mask[:, None]
         t0 = jnp.where(sf, 0, _INF_TIME)
+
+        stride = max(1, min(int(stride), max_waves))
+        if stride > 1:
+            pstack = _adj_power_stack(adj, stride)
+            n_iter = -(-max_waves // stride)
+
+            def body(k, carry):
+                t, f = carry
+                fb = f.astype(jnp.bfloat16).reshape(-1, tile, v)
+                hits = jax.lax.dot_general(
+                    pstack, fb, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                hit = (hits > 0).reshape(-1, stride, tile, v)
+                cnt = hit.sum(axis=1).reshape(n, v)      # monotone in m
+                m_first = stride - cnt                    # 0-based
+                t_cand = k * stride + m_first + 1
+                newly = (cnt > 0) & (t == _INF_TIME)
+                t = jnp.where(newly, t_cand, t)
+                f_new = node_mask & hit[:, stride - 1].reshape(n, v)
+                return t, f_new
+
+            t, _ = jax.lax.fori_loop(
+                0, n_iter, body, (t0, sf & node_mask))
+            # iterations may overshoot max_waves when stride does not
+            # divide it; clamp to the legacy horizon exactly
+            t = jnp.where(t > max_waves, _INF_TIME, t)
+            return t[:, 0] if squeeze else t
 
         def body(k, carry):
             t, f = carry
@@ -247,7 +307,8 @@ def _bfs_times(batch, start_flag, max_waves: int, tile: int = 0):
 
 
 def _subgraph_removal(batch, rng_s, rng_t, k_sub, max_waves: int,
-                      start_rank_slot, tile: int = 0):
+                      start_rank_slot, tile: int = 0,
+                      bfs_stride: int = 1):
     """Removed-node flags for wave-BFS removal of k_sub[g] atoms per graph.
     start_rank_slot selects which random-ranked node seeds the BFS; paired
     views share rng_s and use slots 0/1 so their start atoms are distinct
@@ -255,7 +316,7 @@ def _subgraph_removal(batch, rng_s, rng_t, k_sub, max_waves: int,
     start_rank = _node_ranks(batch, _rand_keys(rng_s, batch.num_nodes),
                              tile)
     start_flag = batch.node_mask & (start_rank == start_rank_slot)
-    t = _bfs_times(batch, start_flag, max_waves, tile)
+    t = _bfs_times(batch, start_flag, max_waves, tile, bfs_stride)
     # wave-ordered removal with random tie-break inside the final wave.
     # t is clipped to max_waves+1 before scaling: unreached nodes
     # (t=_INF_TIME) would otherwise overflow int32 and sort FIRST,
@@ -269,7 +330,7 @@ def _subgraph_removal(batch, rng_s, rng_t, k_sub, max_waves: int,
 
 
 def _subgraph_removal_pair(batch, rng_s, rng_ts, k_subs, max_waves: int,
-                           tile: int = 0):
+                           tile: int = 0, bfs_stride: int = 1):
     """Removed-node flags for BOTH paired views at once. Identical to two
     _subgraph_removal calls with start_rank_slot 0/1 sharing rng_s — the
     views' BFS runs over the same (pre-drop) adjacency, so on tiled
@@ -281,7 +342,7 @@ def _subgraph_removal_pair(batch, rng_s, rng_ts, k_subs, max_waves: int,
     starts = jnp.stack([batch.node_mask & (start_rank == 0),
                         batch.node_mask & (start_rank == 1)], axis=1)
     if tile:
-        t_pair = _bfs_times(batch, starts, max_waves, tile)
+        t_pair = _bfs_times(batch, starts, max_waves, tile, bfs_stride)
     else:
         t_pair = jnp.stack(
             [_bfs_times(batch, starts[:, v], max_waves, tile)
@@ -311,31 +372,33 @@ def _finish_subgraph(batch, removed):
 
 
 @partial(jax.jit, static_argnames=("frac", "max_waves", "start_rank_slot",
-                                   "tile"))
+                                   "tile", "bfs_stride"))
 def subgraph_augment(batch, rng, frac: float = 0.25, max_waves: int = 32,
                      start_rank_slot: int = 0, start_rng=None,
-                     tile: int = 0):
+                     tile: int = 0, bfs_stride: int = 1):
     """BFS subgraph removal (ref dataset_subgraph.py:70-88,96-177)."""
     rng_s, rng_t = jax.random.split(rng)
     if start_rng is not None:
         rng_s = start_rng
     k_sub = jnp.floor(frac * batch.graph_n_nodes).astype(jnp.int32)
     removed = _subgraph_removal(batch, rng_s, rng_t, k_sub, max_waves,
-                                start_rank_slot, tile)
+                                start_rank_slot, tile, bfs_stride)
     return _finish_subgraph(batch, removed)
 
 
-@partial(jax.jit, static_argnames=("frac", "max_waves", "tile"))
+@partial(jax.jit, static_argnames=("frac", "max_waves", "tile",
+                                   "bfs_stride"))
 def paired_subgraph_augment(batch, rng_i, rng_j, rng_start,
                             frac: float = 0.25, max_waves: int = 32,
-                            tile: int = 0):
+                            tile: int = 0, bfs_stride: int = 1):
     """Both subgraph views in one program: the two BFS sweeps share the
     pre-drop adjacency and batch into [T, tile, 2] matmuls. Bit-identical
     to two subgraph_augment calls with start_rank_slot 0/1."""
     rng_ts = [jax.random.split(r)[1] for r in (rng_i, rng_j)]
     k_sub = jnp.floor(frac * batch.graph_n_nodes).astype(jnp.int32)
     rem_i, rem_j = _subgraph_removal_pair(batch, rng_start, rng_ts,
-                                          (k_sub, k_sub), max_waves, tile)
+                                          (k_sub, k_sub), max_waves, tile,
+                                          bfs_stride)
     return _finish_subgraph(batch, rem_i), _finish_subgraph(batch, rem_j)
 
 
@@ -380,11 +443,12 @@ def _finish_mix(batch, removed, rng_n, rng_b, node_frac: float,
 @partial(jax.jit,
          static_argnames=("sub_frac_max", "node_frac", "bond_keep",
                           "max_waves", "start_rank_slot", "tile",
-                          "bond_window"))
+                          "bond_window", "bfs_stride"))
 def mix_augment(batch, rng, sub_frac_max: float = 0.2,
                 node_frac: float = 0.25, bond_keep: float = 0.75,
                 max_waves: int = 32, start_rank_slot: int = 0,
-                start_rng=None, tile: int = 0, bond_window: int = 0):
+                start_rng=None, tile: int = 0, bond_window: int = 0,
+                bfs_stride: int = 1):
     """Subgraph removal + top-up masking/deletion (ref dataset_mix.py)."""
     rng_f, rng_s, rng_n, rng_b = jax.random.split(rng, 4)
     f = jax.random.uniform(rng_f, (batch.num_graphs,), maxval=sub_frac_max)
@@ -393,18 +457,20 @@ def mix_augment(batch, rng, sub_frac_max: float = 0.2,
     if start_rng is not None:
         rng_ss = start_rng
     removed = _subgraph_removal(batch, rng_ss, rng_st, k_sub, max_waves,
-                                start_rank_slot, tile)
+                                start_rank_slot, tile, bfs_stride)
     return _finish_mix(batch, removed, rng_n, rng_b, node_frac, bond_keep,
                        tile, bond_window)
 
 
 @partial(jax.jit,
          static_argnames=("sub_frac_max", "node_frac", "bond_keep",
-                          "max_waves", "tile", "bond_window"))
+                          "max_waves", "tile", "bond_window",
+                          "bfs_stride"))
 def paired_mix_augment(batch, rng_i, rng_j, rng_start,
                        sub_frac_max: float = 0.2, node_frac: float = 0.25,
                        bond_keep: float = 0.75, max_waves: int = 32,
-                       tile: int = 0, bond_window: int = 0):
+                       tile: int = 0, bond_window: int = 0,
+                       bfs_stride: int = 1):
     """Both mix views in one program with the BFS sweeps batched (see
     paired_subgraph_augment). Bit-identical to two mix_augment calls with
     start_rank_slot 0/1 sharing start_rng."""
@@ -418,7 +484,8 @@ def paired_mix_augment(batch, rng_i, rng_j, rng_start,
         rng_ns.append(rng_n)
         rng_bs.append(rng_b)
     rem_i, rem_j = _subgraph_removal_pair(batch, rng_start, rng_ts,
-                                          k_subs, max_waves, tile)
+                                          k_subs, max_waves, tile,
+                                          bfs_stride)
     return (_finish_mix(batch, rem_i, rng_ns[0], rng_bs[0], node_frac,
                         bond_keep, tile, bond_window),
             _finish_mix(batch, rem_j, rng_ns[1], rng_bs[1], node_frac,
@@ -432,7 +499,7 @@ node_augment = partial(jax.jit, static_argnames=("node_frac", "bond_frac",
 
 
 def paired_augment(batch, rng, kind: str = "node", tile: int = 0,
-                   bond_window: int = 0, **kwargs):
+                   bond_window: int = 0, bfs_stride: int = 8, **kwargs):
     """The two contrastive views of one base batch (ref returns (data_i,
     data_j) per molecule, dataset/dataset.py:147). BFS-based kinds use
     distinct start atoms per view via start_rank_slot; pass tile > 0 for
@@ -440,6 +507,9 @@ def paired_augment(batch, rng, kind: str = "node", tile: int = 0,
     bond_window = spec.max_graph_bonds to rank bonds without a sort."""
     rng_i, rng_j, rng_start = jax.random.split(rng, 3)
     kwargs["tile"] = tile
+    if kind in ("subgraph", "mix"):
+        # log-doubling wave stride (tile path; bit-identical to stride 1)
+        kwargs.setdefault("bfs_stride", bfs_stride)
     if kind == "none":
         # identity views: both branches see the raw batch (debug/benchmark
         # baseline, and the layout-equality tests of parallel/partition.py

@@ -2,6 +2,7 @@
 deletion, BFS connectivity, mix top-up totals."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -243,6 +244,59 @@ class TestWindowedBondRanks:
                        max_graph_bonds=3)  # aspirin has 13 bonds
         with pytest.raises(PackOverflow):
             pack_batch(gs, spec)
+
+
+class TestBfsStride:
+    """Log-doubling wave stride (_bfs_times stride > 1): exact wave times
+    and augmented outputs must be BIT-IDENTICAL to single-wave stepping,
+    including long chains (times crossing stride boundaries) and
+    disconnected components (unreached nodes stay at infinity)."""
+
+    STRESS = ["C" * 25,                      # 24-wave path graph
+              "CC(=O)[O-].[Na+]",           # disconnected salt
+              "CC(=O)Oc1ccccc1C(=O)O",
+              "C1CCCCC1CCCCCCCCCC",
+              "CCO", "c1ccc2ccccc2c1"]
+
+    def _batch(self, tile=32):
+        from molclr_tpu.data.loader import spec_for_graphs
+
+        gs = [featurize_smiles(s) for s in self.STRESS]
+        spec = spec_for_graphs(gs, len(gs), tile=tile, sizing="max")
+        return pack_batch(gs, spec), spec
+
+    @pytest.mark.parametrize("stride", [2, 4, 8, 32])
+    def test_times_bit_identical(self, stride):
+        from molclr_tpu.data.augment import _bfs_times, _node_ranks
+
+        batch, _ = self._batch()
+        rank = _node_ranks(batch, jax.random.randint(
+            jax.random.PRNGKey(5), (batch.num_nodes,), 0, 1 << 20,
+            dtype=jnp.int32), 32)
+        starts = jnp.stack([batch.node_mask & (rank == 0),
+                            batch.node_mask & (rank == 1)], axis=1)
+        t1 = _bfs_times(batch, starts, 32, tile=32, stride=1)
+        ts = _bfs_times(batch, starts, 32, tile=32, stride=stride)
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(ts))
+        # the 24-atom chain must contain times past any stride boundary
+        assert int(np.asarray(t1)[np.asarray(batch.node_mask)].max()) > 8
+
+    @pytest.mark.parametrize("kind", ["subgraph", "mix"])
+    def test_augment_outputs_bit_identical(self, kind):
+        from molclr_tpu.data.augment import paired_augment
+
+        batch, spec = self._batch()
+        rng = jax.random.PRNGKey(31)
+        w = spec.max_graph_bonds
+        base = paired_augment(batch, rng, kind, tile=32, bond_window=w,
+                              bfs_stride=1)
+        fast = paired_augment(batch, rng, kind, tile=32, bond_window=w,
+                              bfs_stride=8)
+        for a, b in zip(base, fast):
+            for f in ("atom_type", "chirality", "edge_mask", "nbr_mask"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+                    err_msg=f"{kind} {f}")
 
 
 class TestPairedBatchedBfs:

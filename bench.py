@@ -46,6 +46,9 @@ def main() -> int:
     p.add_argument("--tile", type=int, default=256,
                    help="tile-dense aggregation (block-diagonal MXU "
                         "matmuls) with this tile size; 0 = ELL gathers")
+    p.add_argument("--bfs-stride", type=int, default=8,
+                   help="log-doubling wave stride for subgraph/mix BFS "
+                        "(1 = legacy single-wave stepping)")
     p.add_argument("--concat", action="store_true",
                    help="both contrastive views in ONE forward "
                         "(joint BN stats) instead of two sequential passes")
@@ -111,7 +114,8 @@ def main() -> int:
     def loss_fn(params, batch_stats, rng):
         ra, ri, rj = jax.random.split(rng, 3)
         vi, vj = paired_augment(batch, ra, args.aug, tile=args.tile,
-                                bond_window=spec.max_graph_bonds)
+                                bond_window=spec.max_graph_bonds,
+                                bfs_stride=args.bfs_stride)
         if args.concat:
             both = concat_views(vi, vj)
             (_, z), upd = model.apply(

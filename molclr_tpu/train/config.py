@@ -41,6 +41,9 @@ class PretrainConfig:
     weight_decay: float = 1e-5      # config.yaml:12
     temperature: float = 0.1        # config.yaml:30
     use_cosine_similarity: bool = True
+    ntxent_impl: str = "xla"        # 'xla' | 'pallas' (fused blockwise
+                                    # kernel, ops/pallas_ntxent.py; wins
+                                    # only at pod-scale global batches)
     aug: str = "node"               # 'node' | 'subgraph' | 'mix'
     valid_size: float = 0.05        # config.yaml:26
     model: ModelConfig = field(default_factory=ModelConfig)

@@ -185,6 +185,14 @@ class Pretrainer:
         bond_window = getattr(getattr(self, "spec", None),
                               "max_graph_bonds", 0)
 
+        if cfg.ntxent_impl == "pallas":
+            from molclr_tpu.ops.pallas_ntxent import nt_xent_pallas
+            loss_impl = nt_xent_pallas
+        elif cfg.ntxent_impl == "xla":
+            loss_impl = nt_xent_loss
+        else:
+            raise ValueError(f"unknown ntxent_impl {cfg.ntxent_impl!r}")
+
         def loss_fn(params, batch_stats, batch, rng):
             rng_aug, rng_di, rng_dj = jax.random.split(rng, 3)
             vi, vj = paired_augment(batch, rng_aug, cfg.aug,
@@ -209,11 +217,11 @@ class Pretrainer:
                     {"params": params, "batch_stats": upd["batch_stats"]},
                     vj, train=True, rngs={"dropout": rng_dj},
                     mutable=["batch_stats"])
-            loss = nt_xent_loss(zi.astype(jnp.float32),
-                                zj.astype(jnp.float32),
-                                cfg.temperature, cfg.use_cosine_similarity,
-                                cfg.data_axis or None,
-                                pair_mask=batch.graph_mask)
+            loss = loss_impl(zi.astype(jnp.float32),
+                             zj.astype(jnp.float32),
+                             cfg.temperature, cfg.use_cosine_similarity,
+                             cfg.data_axis or None,
+                             pair_mask=batch.graph_mask)
             return loss, upd["batch_stats"]
 
         def train_step(state, batch, rng):

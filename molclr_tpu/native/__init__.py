@@ -77,6 +77,20 @@ def _load():
             u8p, i32p, i32p,                        # graph view
             ctypes.c_int32,                         # cap_graphs
         ]
+        lib.mtpu_pack_batch_indexed.restype = ctypes.c_int
+        lib.mtpu_pack_batch_indexed.argtypes = [
+            i32p, i32p, i64p,
+            i32p, i32p, i32p, i32p, i64p,
+            i32p, ctypes.c_int32,                   # mol_ids, n_mols
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, i32p, u8p,
+            i32p, i32p, i32p, i32p, i32p, u8p,
+            i32p, i32p, i32p, i32p, u8p,
+            i32p, u8p,
+            u8p, i32p, i32p,
+            ctypes.c_int32,
+        ]
         _lib = lib
         return _lib
 
@@ -325,3 +339,97 @@ def pack_batch_native(graphs, spec):
               "graph_mask"):
         o[k] = o[k].astype(bool)
     return GraphBatch(**o)
+
+
+def pack_superbatch_indexed(corpus, ids_mat, spec):
+    """Pack an [S, B] matrix of corpus molecule ids into ONE stacked
+    superbatch tree (a GraphBatch whose leaves carry a leading [S] batch
+    axis) straight from the memory-mapped corpus buffers — zero Python
+    objects per molecule, zero per-batch concatenation, zero np.stack.
+    This is the streaming host hot path for corpora that exceed the HBM
+    cache (train/pretrain.py _native_superbatches).
+
+    Overflow recovery: the indexed packer reports the exact offending
+    molecule, which is dropped from its batch and the batch repacked
+    (same spirit as BatchIterator's drop-retry, but targeting the TRUE
+    offender). Returns None if the native library is unavailable."""
+    from molclr_tpu.data.graphs import GraphBatch, PackOverflow
+
+    lib = _load()
+    if lib is None:
+        return None
+    S, B = ids_mat.shape
+    N, E, G, K = spec.n_nodes, spec.n_edges, spec.n_graphs, spec.ell_slots
+    Bn = spec.n_bonds
+    shapes = {
+        "atom_type": (N, np.int32), "chirality": (N, np.int32),
+        "node_graph": (N, np.int32), "node_mask": (N, np.uint8),
+        "src": (E, np.int32), "dst": (E, np.int32),
+        "bond_type": (E, np.int32), "bond_dir": (E, np.int32),
+        "edge_bond": (E, np.int32), "edge_mask": (E, np.uint8),
+        "nbr": ((N, K), np.int32), "nbr_bond_type": ((N, K), np.int32),
+        "nbr_bond_dir": ((N, K), np.int32), "nbr_bond": ((N, K), np.int32),
+        "nbr_mask": ((N, K), np.uint8),
+        "bond_graph": (Bn, np.int32), "bond_mask": (Bn, np.uint8),
+        "graph_mask": (G, np.uint8), "graph_n_nodes": (G, np.int32),
+        "graph_n_bonds": (G, np.int32),
+    }
+    out = {k: np.empty((S,) + (s if isinstance(s, tuple) else (s,)), d)
+           for k, (s, d) in shapes.items()}
+
+    def p32(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    def p64(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    def pu8(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    c_at = p32(corpus._node["atom_type"])
+    c_ch = p32(corpus._node["chirality"])
+    c_es = p32(corpus._edge["edge_src"])
+    c_ed = p32(corpus._edge["edge_dst"])
+    c_bt = p32(corpus._edge["bond_type"])
+    c_bd = p32(corpus._edge["bond_dir"])
+    # the memmaps are contiguous; keep REFERENCES on the corpus object so
+    # the pointers below cannot dangle
+    c_ao = p64(corpus.aoff)
+    c_eo = p64(corpus.eoff)
+
+    for s in range(S):
+        ids = np.ascontiguousarray(ids_mat[s], np.int32)
+        while True:
+            o = {k: out[k][s] for k in out}
+            rc = lib.mtpu_pack_batch_indexed(
+                c_at, c_ch, c_ao, c_es, c_ed, c_bt, c_bd, c_eo,
+                p32(ids), len(ids), N, E, K, spec.tile,
+                p32(o["atom_type"]), p32(o["chirality"]),
+                p32(o["node_graph"]), pu8(o["node_mask"]),
+                p32(o["src"]), p32(o["dst"]), p32(o["bond_type"]),
+                p32(o["bond_dir"]), p32(o["edge_bond"]),
+                pu8(o["edge_mask"]),
+                p32(o["nbr"]), p32(o["nbr_bond_type"]),
+                p32(o["nbr_bond_dir"]), p32(o["nbr_bond"]),
+                pu8(o["nbr_mask"]),
+                p32(o["bond_graph"]), pu8(o["bond_mask"]),
+                pu8(o["graph_mask"]), p32(o["graph_n_nodes"]),
+                p32(o["graph_n_bonds"]), G)
+            if rc == 0:
+                break
+            if rc == -1:
+                raise PackOverflow(
+                    f"node degree exceeds max_degree {spec.max_degree}")
+            if rc == -2:
+                return None
+            # rc-1 is the exact offending molecule: drop it and repack
+            ids = np.ascontiguousarray(np.delete(ids, rc - 1), np.int32)
+            import warnings
+
+            warnings.warn(
+                f"PackOverflow: dropped molecule from streaming batch "
+                f"(spec {spec})", stacklevel=2)
+    for k in ("node_mask", "edge_mask", "nbr_mask", "bond_mask",
+              "graph_mask"):
+        out[k] = out[k].view(bool)
+    return GraphBatch(**out)

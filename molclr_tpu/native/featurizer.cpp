@@ -815,12 +815,12 @@ int mtpu_featurize_batch(const char* buffer, int64_t buf_len, int add_hs,
 // Returns 0 on success; (1 + gi) if molecule gi overflows node/edge/tile
 // capacity (caller drops a molecule and retries, mirroring
 // BatchIterator); -1 if a node's degree exceeds ell_slots - 1.
-int mtpu_pack_batch(
+static int pack_batch_impl(
     const int32_t* atom_type, const int32_t* chirality,
     const int64_t* atom_off,
     const int32_t* edge_src, const int32_t* edge_dst,
     const int32_t* bond_type, const int32_t* bond_dir,
-    const int64_t* edge_off, int32_t n_mols,
+    const int64_t* edge_off, const int32_t* mol_ids, int32_t n_mols,
     int32_t cap_nodes, int32_t cap_edges, int32_t ell_slots, int32_t tile,
     int32_t* o_atom_type, int32_t* o_chirality, int32_t* o_node_graph,
     uint8_t* o_node_mask,
@@ -863,8 +863,11 @@ int mtpu_pack_batch(
   // per-atom ELL fill counters (slot 0 = self-loop)
   static thread_local int16_t slot_cnt[1 << 20];
   for (int32_t gi = 0; gi < n_mols; ++gi) {
-    const int64_t a0 = atom_off[gi], a1 = atom_off[gi + 1];
-    const int64_t e0 = edge_off[gi], e1 = edge_off[gi + 1];
+    // mol_ids indirection: pack molecule mol_ids[gi] from a corpus-wide
+    // offset table (NULL = identity, the contiguous per-batch layout)
+    const int32_t mol = mol_ids ? mol_ids[gi] : gi;
+    const int64_t a0 = atom_off[mol], a1 = atom_off[mol + 1];
+    const int64_t e0 = edge_off[mol], e1 = edge_off[mol + 1];
     const int32_t n = (int32_t)(a1 - a0);
     const int32_t e = (int32_t)(e1 - e0);
     if (tile > 0) {
@@ -919,6 +922,63 @@ int mtpu_pack_batch(
     bond_off += e / 2;
   }
   return 0;
+}
+
+int mtpu_pack_batch(
+    const int32_t* atom_type, const int32_t* chirality,
+    const int64_t* atom_off,
+    const int32_t* edge_src, const int32_t* edge_dst,
+    const int32_t* bond_type, const int32_t* bond_dir,
+    const int64_t* edge_off, int32_t n_mols,
+    int32_t cap_nodes, int32_t cap_edges, int32_t ell_slots, int32_t tile,
+    int32_t* o_atom_type, int32_t* o_chirality, int32_t* o_node_graph,
+    uint8_t* o_node_mask,
+    int32_t* o_src, int32_t* o_dst, int32_t* o_bond_type,
+    int32_t* o_bond_dir, int32_t* o_edge_bond, uint8_t* o_edge_mask,
+    int32_t* o_nbr, int32_t* o_nbr_bt, int32_t* o_nbr_bd,
+    int32_t* o_nbr_bond, uint8_t* o_nbr_mask,
+    int32_t* o_bond_graph, uint8_t* o_bond_mask,
+    uint8_t* o_graph_mask, int32_t* o_graph_n_nodes,
+    int32_t* o_graph_n_bonds, int32_t cap_graphs) {
+  return pack_batch_impl(
+      atom_type, chirality, atom_off, edge_src, edge_dst, bond_type,
+      bond_dir, edge_off, nullptr, n_mols, cap_nodes, cap_edges, ell_slots,
+      tile, o_atom_type, o_chirality, o_node_graph, o_node_mask, o_src,
+      o_dst, o_bond_type, o_bond_dir, o_edge_bond, o_edge_mask, o_nbr,
+      o_nbr_bt, o_nbr_bd, o_nbr_bond, o_nbr_mask, o_bond_graph,
+      o_bond_mask, o_graph_mask, o_graph_n_nodes, o_graph_n_bonds,
+      cap_graphs);
+}
+
+// Indexed variant for mmap'd corpora (data/corpus.py): per-graph molecule
+// ids select segments from the CORPUS-WIDE flat arrays/offset tables, so
+// a batch packs straight from the memory-mapped corpus with no
+// intermediate per-batch concatenation and no Python object per molecule
+// (the streaming superbatch hot path, native.pack_batch_indexed).
+int mtpu_pack_batch_indexed(
+    const int32_t* atom_type, const int32_t* chirality,
+    const int64_t* atom_off,
+    const int32_t* edge_src, const int32_t* edge_dst,
+    const int32_t* bond_type, const int32_t* bond_dir,
+    const int64_t* edge_off, const int32_t* mol_ids, int32_t n_mols,
+    int32_t cap_nodes, int32_t cap_edges, int32_t ell_slots, int32_t tile,
+    int32_t* o_atom_type, int32_t* o_chirality, int32_t* o_node_graph,
+    uint8_t* o_node_mask,
+    int32_t* o_src, int32_t* o_dst, int32_t* o_bond_type,
+    int32_t* o_bond_dir, int32_t* o_edge_bond, uint8_t* o_edge_mask,
+    int32_t* o_nbr, int32_t* o_nbr_bt, int32_t* o_nbr_bd,
+    int32_t* o_nbr_bond, uint8_t* o_nbr_mask,
+    int32_t* o_bond_graph, uint8_t* o_bond_mask,
+    uint8_t* o_graph_mask, int32_t* o_graph_n_nodes,
+    int32_t* o_graph_n_bonds, int32_t cap_graphs) {
+  return pack_batch_impl(
+      atom_type, chirality, atom_off, edge_src, edge_dst, bond_type,
+      bond_dir, edge_off, mol_ids, n_mols, cap_nodes, cap_edges, ell_slots,
+      tile, o_atom_type, o_chirality, o_node_graph, o_node_mask, o_src,
+      o_dst, o_bond_type, o_bond_dir, o_edge_bond, o_edge_mask, o_nbr,
+      o_nbr_bt, o_nbr_bd, o_nbr_bond, o_nbr_mask, o_bond_graph,
+      o_bond_mask, o_graph_mask, o_graph_n_nodes, o_graph_n_bonds,
+      cap_graphs);
 }
 
 }  // extern "C"

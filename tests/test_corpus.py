@@ -107,6 +107,46 @@ class TestPretrainFromDisk:
         assert all(np.isfinite(h["train_loss"]) for h in hist)
         assert hist[-1]["train_loss"] < hist[0]["train_loss"]
 
+    def test_native_streaming_superbatches(self, tmp_path, monkeypatch):
+        """Corpora above pack_cache_max_mols stream through the native
+        indexed superbatch packer (one C call per batch straight from the
+        mmap); training must still learn and the fast path must actually
+        be taken."""
+        from molclr_tpu import native
+        from molclr_tpu.train.config import ModelConfig, PretrainConfig
+        from molclr_tpu.train.pretrain import Pretrainer
+
+        if not native.native_available():
+            pytest.skip("native library unavailable")
+        smiles = synthetic_corpus(300, seed=13)
+        cdir = tmp_path / "c3.mtpu"
+        build_corpus(iter(smiles), str(cdir), chunk_size=100)
+
+        calls = {"n": 0}
+        orig = native.pack_superbatch_indexed
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return orig(*a, **k)
+
+        monkeypatch.setattr(native, "pack_superbatch_indexed", counting)
+        cfg = PretrainConfig(
+            data_path=str(cdir), batch_size=32, epochs=2, warm_up=1,
+            model=ModelConfig(num_layers=2, emb_dim=32, feat_dim=64,
+                              tile=32),
+            aug="node", valid_size=0.1, ckpt_dir=str(tmp_path / "ck3"),
+            seed=0, save_every_epochs=100, eval_every_epochs=100,
+            pack_cache_max_mols=10,      # force the streaming path
+            steps_per_dispatch=3)
+        pre = Pretrainer(cfg).setup_data()
+        pre.setup_state(next(iter(pre.train_iter))[0])
+        hist = pre.train(log=lambda *_: None)
+        assert calls["n"] > 0, "native streaming path was not used"
+        assert len(hist) == 2
+        assert hist[-1]["train_loss"] < hist[0]["train_loss"]
+        # every full epoch consumed: 270 train mols / 32 = 8 batches
+        assert all(h["steps"] == 8 for h in hist)
+
     def test_add_hs_mismatch_raises(self, tmp_path):
         from molclr_tpu.train.config import ModelConfig, PretrainConfig
         from molclr_tpu.train.pretrain import Pretrainer

@@ -37,8 +37,10 @@ whose aromatic-form valence would drop an H (pyrrole N parsed from
 `C1=CC=CN1`) gets its Kekulé H count pinned as explicit_hs, which is also
 what makes the canonical writer emit the mandatory `[nH]` form.
 
-Documented divergences from RDKit's default model: no fused-ring-envelope
-Hückel pass (azulene-type systems that fail ring-by-ridge stay Kekulé), and
+Fused systems whose individual rings fail the electron count get a
+ring-union envelope pass (azulene, indolizine, biphenylene — see
+_fused_envelope_pass), and 4n+2 macrocycles up to MAX_AROMATIC_RING atoms
+aromatize like RDKit's ([14]/[18]/[22]annulene). Documented divergence:
 exocyclic C=C to an acyclic atom fails the ring rather than contributing 0.
 """
 
@@ -50,10 +52,11 @@ _PI_DONORS_2 = {"O", "S", "Se", "Te"}
 _ELECTRONEG_EXO = {"O", "N", "S"}
 
 
-MAX_AROMATIC_RING = 20  # must match MAX_RING in native/featurizer.cpp:
-                        # rings beyond this stay Kekulé in BOTH featurizers
-                        # (documented divergence from RDKit for 4n+2
-                        # macrocycles like [22]annulene)
+MAX_AROMATIC_RING = 64  # must match MAX_RING in native/featurizer.cpp:
+                        # rings beyond this stay Kekulé in BOTH featurizers.
+                        # 64 covers every 4n+2 macrocycle RDKit aromatizes
+                        # in practice ([14]/[18]/[22]annulene etc.); the cap
+                        # exists only to bound the C++ ring buffers.
 
 
 def perceive_aromaticity(mol: Mol) -> Mol:

@@ -398,7 +398,7 @@ bool parse_smiles(const char* s, Mol& m) {
 // module is the semantic source of truth, pinned by tests/test_native.py) --
 
 constexpr int MAX_SSSR = 128;
-constexpr int MAX_RING = 20;
+constexpr int MAX_RING = 64;  // = chem/aromatic.py MAX_AROMATIC_RING
 
 // pi-electron contribution of ring atom a, or -1 if it disqualifies the ring
 int pi_contribution(const Mol& m, int a, const bool* in_ring_set,

@@ -28,6 +28,10 @@ EQUIVALENT = [
     ("indolizine", "C1=CC2=CC=CN2C=C1", "c1ccn2cccc2c1"),
     ("biphenylene", "C1=CC2=C(C=C1)C1=CC=CC=C1-2",
      "c1ccc2-c3ccccc3-c2c1"),
+    # 4n+2 macrocycles (RDKit aromatizes these; cap MAX_AROMATIC_RING=64)
+    ("[14]annulene", "C1=C" + "C=C" * 6 + "1", "c1" + "c" * 13 + "1"),
+    ("[18]annulene", "C1=C" + "C=C" * 8 + "1", "c1" + "c" * 17 + "1"),
+    ("[22]annulene", "C1=C" + "C=C" * 10 + "1", "c1" + "c" * 21 + "1"),
 ]
 
 NON_AROMATIC = [
@@ -38,6 +42,8 @@ NON_AROMATIC = [
     ("fulvene", "C=C1C=CC=C1"),               # exocyclic C=C
     ("cyclopentadiene", "C1=CC=CC1"),          # sp3 CH2 breaks the ring
     ("pentalene", "C1=CC2=CC=CC2=C1"),         # union 8 pi e, stays Kekulé
+    ("[16]annulene", "C1=C" + "C=C" * 7 + "1"),   # 16 pi e = 4n
+    ("[20]annulene", "C1=C" + "C=C" * 9 + "1"),   # 20 pi e = 4n
 ]
 
 
@@ -128,23 +134,31 @@ def test_native_parity_on_kekule_inputs():
                     getattr(py, f), getattr(nat, f), err_msg=f"{s} {f}")
 
 
-def test_macrocycle_stays_kekule_in_both_featurizers():
-    """Rings beyond MAX_AROMATIC_RING (= native MAX_RING) stay Kekulé in
-    BOTH the Python and C++ featurizers — the cap exists for parity."""
+def test_macrocycle_aromaticity_both_featurizers():
+    """4n+2 macrocycles up to MAX_AROMATIC_RING aromatize (like RDKit);
+    4n ones and rings beyond the cap stay Kekulé — identically in the
+    Python and C++ featurizers."""
+    from molclr_tpu import native
     from molclr_tpu.chem.mol import BondType
 
-    n = 22  # [22]annulene: 4n+2 with n=5, ring size 22 > cap 20
-    ring = "C1=C" + "C=C" * ((n - 2) // 2) + "1"
-    mol = parse_smiles(ring)
-    assert not any(a.is_aromatic for a in mol.atoms)
-    assert not any(b.bond_type == BondType.AROMATIC for b in mol.bonds)
+    def annulene(n):
+        return "C1=C" + "C=C" * ((n - 2) // 2) + "1"
 
-    from molclr_tpu import native
+    # (ring size, expected aromatic): cap 64 keeps [66]annulene Kekulé
+    for n, arom in [(14, True), (18, True), (22, True),
+                    (16, False), (20, False), (66, False)]:
+        mol = parse_smiles(annulene(n))
+        got = all(b.bond_type == BondType.AROMATIC for b in mol.bonds)
+        assert got == arom, f"[{n}]annulene aromatic={got}, want {arom}"
+        assert all(a.is_aromatic == arom for a in mol.atoms)
 
     if native.native_available():
         from molclr_tpu.data.featurize import featurize_smiles
 
-        py = featurize_smiles(ring)
-        out = native.featurize_corpus_native([ring])
-        assert out is not None and len(out[0]) == 1
-        np.testing.assert_array_equal(py.bond_type, out[0][0].bond_type)
+        for n in (14, 16, 18, 20, 22, 66):
+            s = annulene(n)
+            py = featurize_smiles(s)
+            out = native.featurize_corpus_native([s])
+            assert out is not None and len(out[0]) == 1, s
+            np.testing.assert_array_equal(py.bond_type, out[0][0].bond_type,
+                                          err_msg=s)

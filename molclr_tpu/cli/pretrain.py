@@ -35,12 +35,29 @@ def main(argv=None) -> int:
                         "data path is missing")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize jax.distributed (multi-host pod run; "
+                        "pair with --data-axis in the config). Coordinator/"
+                        "process ids autodetect from the TPU environment "
+                        "or the --dist-* flags")
+    p.add_argument("--dist-coordinator", default=None,
+                   metavar="HOST:PORT")
+    p.add_argument("--dist-nproc", type=int, default=None)
+    p.add_argument("--dist-procid", type=int, default=None)
     args = p.parse_args(argv)
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.distributed or args.dist_coordinator:
+        # must run before any device use; each process then featurizes
+        # only its corpus slice (train/pretrain.py _process_shard) and the
+        # DP mesh spans all processes' devices
+        from molclr_tpu.parallel import init_distributed
+
+        init_distributed(args.dist_coordinator, args.dist_nproc,
+                         args.dist_procid)
 
     from molclr_tpu.train.config import PretrainConfig, pretrain_from_yaml
     from molclr_tpu.train.pretrain import Pretrainer

@@ -10,6 +10,14 @@ from molclr_tpu.parallel.dp import (
     shard_batch_cache,
     stack_batches,
 )
+from molclr_tpu.parallel.multihost import (
+    assemble_rows,
+    corpus_shard_range,
+    global_mesh,
+    init_distributed,
+    replicate_to_mesh,
+    shard_batch_cache_global,
+)
 from molclr_tpu.parallel.partition import (
     build_partitioned_pretrain_step,
     localize_shard,
@@ -19,10 +27,16 @@ from molclr_tpu.parallel.partition import (
 __all__ = [
     "build_dp_multi_step_resident",
     "build_dp_pretrain_step",
+    "assemble_rows",
     "build_partitioned_pretrain_step",
+    "corpus_shard_range",
+    "global_mesh",
+    "init_distributed",
     "localize_shard",
     "make_mesh",
+    "replicate_to_mesh",
     "shard_batch_cache",
+    "shard_batch_cache_global",
     "shard_graph_batch",
     "stack_batches",
 ]

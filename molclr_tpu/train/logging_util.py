@@ -36,3 +36,17 @@ class MetricWriter:
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+
+
+class NullWriter:
+    """Drop-in no-op MetricWriter for non-primary hosts (multi-process
+    runs write metrics/checkpoints from process 0 only)."""
+
+    def scalars(self, step: int, **values) -> None:
+        pass
+
+    def record(self, payload: dict) -> None:
+        pass
+
+    def close(self) -> None:
+        pass

@@ -76,6 +76,7 @@ class Pretrainer:
             order = keep[rng.permutation(len(keep))]
             n_valid = int(len(order) * cfg.valid_size)
             valid_ids, train_ids = order[:n_valid], order[n_valid:]
+            train_ids, valid_ids = self._process_shard(train_ids, valid_ids)
             train = CorpusSubset(corpus, train_ids)
             valid = CorpusSubset(corpus, valid_ids)
             self.spec = spec_for_graphs(
@@ -96,6 +97,7 @@ class Pretrainer:
             order = rng.permutation(len(graphs))
             n_valid = int(len(graphs) * cfg.valid_size)
             valid_ids, train_ids = order[:n_valid], order[n_valid:]
+            train_ids, valid_ids = self._process_shard(train_ids, valid_ids)
             train = [graphs[i] for i in train_ids]
             valid = [graphs[i] for i in valid_ids]
             self.spec = spec_for_graphs(graphs, cfg.batch_size,
@@ -118,6 +120,20 @@ class Pretrainer:
             drop_last=False, seed=cfg.seed,
             cache_packed=0 < len(valid_ids) <= cfg.pack_cache_max_mols)
         return self
+
+    @staticmethod
+    def _process_shard(train_ids, valid_ids):
+        """Multi-host: every process computes the IDENTICAL seeded shuffle
+        and split, then keeps only its contiguous slice of each — host
+        featurization/packing scales out with processes and no host ever
+        touches the global corpus. Single-process: unchanged."""
+        if jax.process_count() <= 1:
+            return train_ids, valid_ids
+        from molclr_tpu.parallel.multihost import corpus_shard_range
+
+        rt = corpus_shard_range(len(train_ids))
+        rv = corpus_shard_range(len(valid_ids))
+        return train_ids[rt.start:rt.stop], valid_ids[rv.start:rv.stop]
 
     # ---- model/optimizer ----
     def setup_state(self, example_batch):
@@ -496,20 +512,34 @@ class Pretrainer:
                   for x in jax.tree_util.tree_leaves(batches[0]))
         total_mb = per * len(batches) / 2**20
         n_dev = self.mesh.shape[cfg.data_axis] if cfg.data_axis else 1
-        per_dev_mb = total_mb / n_dev
+        # batches are process-LOCAL: per-device budget divides by the
+        # local device count (== n_dev when single-process)
+        per_dev_mb = total_mb / min(n_dev, jax.local_device_count())
         if self._device_cache_used_mb + per_dev_mb > cfg.device_cache_mb:
             log(f"packed-batch cache {per_dev_mb:.0f} MB/device exceeds "
                 f"device_cache_mb={cfg.device_cache_mb}; staying host-side")
             return
         if cfg.data_axis:
-            from molclr_tpu.parallel import shard_batch_cache
+            from molclr_tpu.parallel import (
+                shard_batch_cache,
+                shard_batch_cache_global,
+            )
 
-            if len(batches) < n_dev:
-                log(f"{len(batches)} cached batches < {n_dev} devices; "
-                    f"staying host-side")
+            multihost = jax.process_count() > 1
+            n_dev_local = jax.local_device_count() if multihost else n_dev
+            if len(batches) < n_dev_local:
+                log(f"{len(batches)} cached batches < {n_dev_local} local "
+                    f"devices; staying host-side")
                 return
-            self._device_stack, self._dp_shard_size, dropped = (
-                shard_batch_cache(batches, self.mesh, cfg.data_axis))
+            if multihost:
+                # each process contributes its LOCAL batches; the global
+                # cache array is assembled without any host holding it
+                self._device_stack, self._dp_shard_size, dropped = (
+                    shard_batch_cache_global(batches, self.mesh,
+                                             cfg.data_axis))
+            else:
+                self._device_stack, self._dp_shard_size, dropped = (
+                    shard_batch_cache(batches, self.mesh, cfg.data_axis))
             self._device_cache_used_mb += per_dev_mb
             msg = (f" ({dropped} remainder batches dropped at device "
                    f"granularity)" if dropped else "")
@@ -530,7 +560,11 @@ class Pretrainer:
         (device d's row is a permutation of its own shard in the relative
         order the global permutation induces)."""
         order = self.train_iter.cached_epoch_order()
-        n_dev = self.mesh.shape[self.cfg.data_axis]
+        # the iterator (and hence `order`) covers this PROCESS's batches:
+        # rows here are the local devices' shards; multihost assembles the
+        # global index matrix per dispatch (assemble_rows)
+        n_dev = min(self.mesh.shape[self.cfg.data_axis],
+                    jax.local_device_count())
         s = self._dp_shard_size
         per_dev = np.zeros((n_dev, s), dtype=np.int32)
         pos = np.zeros(n_dev, dtype=np.int64)
@@ -574,12 +608,18 @@ class Pretrainer:
         cfg = self.cfg
         if self._train_step is None:
             self._build_steps()
-        os.makedirs(cfg.ckpt_dir, exist_ok=True)
-        with open(os.path.join(cfg.ckpt_dir, "config.json"), "w") as f:
-            json.dump(to_dict(cfg), f, indent=2, default=str)
-        from molclr_tpu.train.logging_util import MetricWriter
+        # multi-process runs: process 0 owns metrics + checkpoints (params
+        # and opt state are replicated, so its bytes are everyone's)
+        is_main = jax.process_index() == 0
+        from molclr_tpu.train.logging_util import MetricWriter, NullWriter
 
-        writer = MetricWriter(cfg.ckpt_dir, tensorboard=cfg.tensorboard)
+        if is_main:
+            os.makedirs(cfg.ckpt_dir, exist_ok=True)
+            with open(os.path.join(cfg.ckpt_dir, "config.json"), "w") as f:
+                json.dump(to_dict(cfg), f, indent=2, default=str)
+            writer = MetricWriter(cfg.ckpt_dir, tensorboard=cfg.tensorboard)
+        else:
+            writer = NullWriter()
         rng = jax.random.PRNGKey(cfg.seed + 1)
         best_val = float("inf")
         history = []
@@ -607,8 +647,15 @@ class Pretrainer:
                     # the [n_dev, S] index matrix
                     per_dev = self._dp_epoch_orders()
                     fold = max(1, cfg.steps_per_dispatch)
+                    multihost = jax.process_count() > 1
+                    if multihost:
+                        from molclr_tpu.parallel import assemble_rows
                     for lo in range(0, per_dev.shape[1], fold):
-                        idxs = jnp.asarray(per_dev[:, lo : lo + fold])
+                        if multihost:
+                            idxs = assemble_rows(per_dev[:, lo : lo + fold],
+                                                 self.mesh, cfg.data_axis)
+                        else:
+                            idxs = jnp.asarray(per_dev[:, lo : lo + fold])
                         self.state, loss_arr = self._dp_multi_resident(
                             self.state, self._device_stack, idxs, rng)
                         losses.extend(float(x) for x in np.asarray(loss_arr))
@@ -683,14 +730,14 @@ class Pretrainer:
                 if (epoch + 1) % cfg.eval_every_epochs == 0:
                     val = self.validate(jax.random.fold_in(rng, 10_000 + epoch))
                     record["valid_loss"] = val
-                    if val < best_val:
+                    if val < best_val and is_main:
                         best_val = val
                         ckpt_lib.save_checkpoint(
                             os.path.join(cfg.ckpt_dir, "best"), 0,
                             {"params": self.state.params,
                              "batch_stats": self.state.batch_stats},
                             force=True)
-                if (epoch + 1) % cfg.save_every_epochs == 0:
+                if (epoch + 1) % cfg.save_every_epochs == 0 and is_main:
                     # periodic checkpoints carry the FULL train state so resume
                     # continues the optimizer/schedule (unlike the reference)
                     ckpt_lib.save_checkpoint(

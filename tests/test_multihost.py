@@ -1,0 +1,148 @@
+"""Multi-host DP helpers (parallel/multihost.py).
+
+The true multi-process path cannot execute here (one process); these tests
+pin (a) the corpus-sharding arithmetic for arbitrary (process, count), and
+(b) that with process_count == 1 the global-assembly helpers are exact
+drop-ins for the single-controller parallel/dp.py functions the trainer
+otherwise uses — the only process-count-dependent inputs are
+jax.process_index()/count(), which the arithmetic tests cover directly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from molclr_tpu.parallel import (
+    assemble_rows,
+    build_dp_multi_step_resident,
+    corpus_shard_range,
+    make_mesh,
+    shard_batch_cache,
+    shard_batch_cache_global,
+)
+
+
+def _batches(n, seed=0):
+    from molclr_tpu.data import featurize_smiles, pack_batch
+    from molclr_tpu.data.graphs import PadSpec
+    from molclr_tpu.data.synthetic import synthetic_corpus
+
+    smiles = synthetic_corpus(4 * n, seed=seed)
+    graphs = [g for g in (featurize_smiles(s) for s in smiles)
+              if g is not None and g.max_degree <= 6]
+    max_bonds = max(g.edge_src.shape[0] // 2 for g in graphs)
+    spec = PadSpec(n_graphs=4, n_nodes=128, n_edges=224, max_degree=6,
+                   tile=32, max_graph_bonds=max_bonds)
+    return [pack_batch(graphs[4 * i : 4 * i + 4], spec) for i in range(n)]
+
+
+def test_corpus_shard_range_partitions_exactly():
+    for n_items in (0, 1, 7, 64, 1_000_003):
+        for n_proc in (1, 2, 3, 8, 17):
+            ranges = [corpus_shard_range(n_items, p, n_proc)
+                      for p in range(n_proc)]
+            # cover, disjoint, ordered, balanced to within 1
+            flat = [i for r in ranges for i in r]
+            assert flat == list(range(n_items)), (n_items, n_proc)
+            sizes = [len(r) for r in ranges]
+            assert max(sizes) - min(sizes) <= 1
+            # contiguous (one dense mmap read per host)
+            for r in ranges:
+                assert r.step == 1
+
+
+def test_corpus_shard_range_defaults_to_this_process():
+    r = corpus_shard_range(100)
+    assert (r.start, r.stop) == (0, 100)  # single-process run
+
+
+def test_shard_batch_cache_global_degenerates_to_local():
+    mesh = make_mesh(8, axis="data")
+    batches = _batches(17)
+    ref_stack, ref_s, ref_drop = shard_batch_cache(batches, mesh, "data")
+    glo_stack, glo_s, glo_drop = shard_batch_cache_global(batches, mesh,
+                                                          "data")
+    assert (glo_s, glo_drop) == (ref_s, ref_drop) == (2, 1)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_stack),
+                    jax.tree_util.tree_leaves(glo_stack)):
+        assert a.sharding == b.sharding
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_assemble_rows_matches_device_put():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(8, axis="data")
+    rows = np.arange(8 * 5, dtype=np.int32).reshape(8, 5)
+    out = assemble_rows(rows, mesh, "data")
+    assert out.sharding == NamedSharding(mesh, P("data"))
+    np.testing.assert_array_equal(np.asarray(out), rows)
+
+
+def test_resident_dp_epoch_over_global_cache():
+    """One scanned DP epoch over a cache built by the multihost assembler
+    produces the same losses as over the single-controller cache."""
+    from molclr_tpu.models import MolCLRNet
+    from molclr_tpu.train.optim import adam_torch
+    from molclr_tpu.train.state import TrainState
+
+    mesh = make_mesh(8, axis="data")
+    batches = _batches(16, seed=3)
+    model = MolCLRNet(gnn_type="gin", num_layers=2, emb_dim=32,
+                      feat_dim=64, bn_axis_name="data", tile=32)
+    init_model = MolCLRNet(gnn_type="gin", num_layers=2, emb_dim=32,
+                           feat_dim=64, tile=32)
+    variables = init_model.init(jax.random.PRNGKey(0), batches[0],
+                                train=False)
+    tx = adam_torch(1e-3, 1e-5)
+
+    host = jax.tree_util.tree_map(np.asarray, variables)
+
+    def fresh_state():
+        # host copies: the scanned step donates its state buffers
+        params = jax.tree_util.tree_map(np.copy, host["params"])
+        return TrainState(params=params,
+                          batch_stats=jax.tree_util.tree_map(
+                              np.copy, host.get("batch_stats", {})),
+                          opt_state=tx.init(params), step=0)
+
+    multi = build_dp_multi_step_resident(model, tx, mesh, aug="node",
+                                         temperature=0.1, axis="data",
+                                         tile=32)
+    losses = {}
+    for name, builder in (("local", shard_batch_cache),
+                          ("global", shard_batch_cache_global)):
+        stack, s, _ = builder(batches, mesh, "data")
+        idxs = assemble_rows(
+            np.tile(np.arange(s, dtype=np.int32), (8, 1)), mesh, "data")
+        _, loss_arr = multi(fresh_state(), stack, idxs,
+                            jax.random.PRNGKey(1))
+        losses[name] = np.asarray(loss_arr)
+        assert np.isfinite(losses[name]).all()
+    np.testing.assert_array_equal(losses["local"], losses["global"])
+
+
+def test_init_distributed_noop_single_process(monkeypatch):
+    from molclr_tpu.parallel import init_distributed
+
+    called = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: called.append(kw))
+    for k in ("COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+              "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(k, raising=False)
+    init_distributed()          # nothing indicates multi-process
+    assert called == []
+    init_distributed("host:1234", 4, 2)   # explicit args DO initialize
+    assert called == [{"coordinator_address": "host:1234",
+                       "num_processes": 4, "process_id": 2}]
+
+
+def test_process_shard_identity_single_process():
+    from molclr_tpu.train.pretrain import Pretrainer
+
+    t = np.arange(10)
+    v = np.arange(3)
+    t2, v2 = Pretrainer._process_shard(t, v)
+    np.testing.assert_array_equal(t, t2)
+    np.testing.assert_array_equal(v, v2)

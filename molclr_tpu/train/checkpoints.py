@@ -198,6 +198,31 @@ def load_checkpoint(path: str, template: Any) -> Any:
                            restore_args=restore_args)
 
 
+def resolve_pretrained(path: str) -> str:
+    """Resolve a warm-start spec to a loadable checkpoint path.
+
+    Accepts everything the reference's `fine_tune_from` key does
+    (finetune.py:249: a bare name is `./ckpt/<name>/checkpoints/model.pth`)
+    plus our own layouts: an explicit .pth file, an Orbax step directory,
+    or a directory containing either.
+    """
+    if not path:
+        return path
+    candidates = [
+        path,
+        os.path.join(path, "checkpoints", "model.pth"),
+        os.path.join("ckpt", path, "checkpoints", "model.pth"),
+    ]
+    for cand in candidates:
+        if os.path.exists(cand):
+            if os.path.isdir(cand):
+                latest = latest_checkpoint(cand)
+                if latest is not None:
+                    return latest
+            return cand
+    return path
+
+
 def latest_checkpoint(directory: str) -> str | None:
     if not os.path.isdir(directory):
         return None

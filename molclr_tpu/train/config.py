@@ -158,6 +158,16 @@ def pretrain_from_yaml(path: str) -> PretrainConfig:
         cfg.init_lr = float(raw["init_lr"])
     if "weight_decay" in raw:
         cfg.weight_decay = float(raw["weight_decay"])  # no eval() (Q11)
+    # reference cadence keys (config.yaml:6-8) -> the typed names
+    if "eval_every_n_epochs" in raw:
+        cfg.eval_every_epochs = int(raw["eval_every_n_epochs"])
+    if "save_every_n_epochs" in raw:
+        cfg.save_every_epochs = int(raw["save_every_n_epochs"])
+    if "log_every_n_steps" in raw:
+        cfg.log_every_steps = int(raw["log_every_n_steps"])
+    if raw.get("fp16_precision"):
+        # apex amp O2 (molclr.py:97-100) -> bf16 activations on TPU
+        cfg.model.bf16 = True
     if "model_type" in raw:
         cfg.model.gnn_type = raw["model_type"]
     if "load_model" in raw and raw["load_model"] not in (None, "None"):
@@ -174,6 +184,8 @@ def pretrain_from_yaml(path: str) -> PretrainConfig:
     for k in ("valid_size", "data_path"):
         if k in ds:
             setattr(cfg, k, ds[k])
+    if "num_workers" in ds:
+        cfg.featurize_processes = max(1, int(ds["num_workers"]))
     for k in ("data_path", "ckpt_dir", "data_axis"):
         if k in raw:
             setattr(cfg, k, raw[k])
@@ -192,9 +204,18 @@ def finetune_from_yaml(path: str) -> FineTuneConfig:
     for k in ("init_lr", "init_base_lr", "weight_decay"):
         if k in raw:
             setattr(cfg, k, float(raw[k]))
+    if "log_every_n_steps" in raw:
+        cfg.log_every_steps = int(raw["log_every_n_steps"])
+    if raw.get("fp16_precision"):
+        cfg.model.bf16 = True
     if "model_type" in raw:
         cfg.model.gnn_type = raw["model_type"]
-    if "fine_tune_from" in raw and raw["fine_tune_from"]:
+    if "fine_tune_from" in raw and raw["fine_tune_from"] \
+            not in (None, "None", ""):
+        # reference semantics: a bare name is a subdirectory of ./ckpt
+        # (finetune.py: os.path.join('./ckpt', fine_tune_from,
+        # 'checkpoints', 'model.pth')); resolved lazily against the
+        # filesystem by checkpoints.resolve_pretrained at load time.
         cfg.pretrained = str(raw["fine_tune_from"])
     if "pretrained" in raw:
         cfg.pretrained = str(raw["pretrained"])

@@ -312,7 +312,7 @@ class FineTuner:
 
     def _warm_start(self, params, stats):
         if self._pretrained_trees is None:
-            path = self.cfg.pretrained
+            path = ckpt_lib.resolve_pretrained(self.cfg.pretrained)
             if path.endswith(".pth"):
                 ip, istats = ckpt_lib.import_torch_params(
                     ckpt_lib.load_torch_state_dict(path),

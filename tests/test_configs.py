@@ -86,6 +86,69 @@ class TestYamlConfigs:
         assert fc.model.drop_ratio == 0.3
         assert fc.splitting == "scaffold"
 
+    def test_verbatim_reference_yaml_keys(self, tmp_path):
+        """A user's unmodified reference config.yaml / config_finetune.yaml
+        must map every key (ref config.yaml:1-31, config_finetune.yaml:1-28;
+        `gpu` and `num_workers` are host-environment knobs)."""
+        (tmp_path / "p.yaml").write_text(
+            "batch_size: 256\nwarm_up: 7\nepochs: 40\n"
+            "load_model: None\neval_every_n_epochs: 2\n"
+            "save_every_n_epochs: 3\nlog_every_n_steps: 25\n"
+            "fp16_precision: True\ninit_lr: 0.0005\nweight_decay: 1e-5\n"
+            "gpu: cuda:0\nmodel_type: gcn\n"
+            "model:\n  num_layer: 4\n  emb_dim: 128\n  feat_dim: 256\n"
+            "  drop_ratio: 0\n  pool: mean\n"
+            "aug: subgraph\n"
+            "dataset:\n  num_workers: 12\n  valid_size: 0.07\n"
+            "  data_path: data/pubchem-10m-clean.txt\n"
+            "loss:\n  temperature: 0.2\n  use_cosine_similarity: True\n")
+        pc = pretrain_from_yaml(str(tmp_path / "p.yaml"))
+        assert pc.eval_every_epochs == 2 and pc.save_every_epochs == 3
+        assert pc.log_every_steps == 25
+        assert pc.model.bf16 is True          # fp16_precision -> bf16
+        assert pc.model.gnn_type == "gcn" and pc.model.num_layers == 4
+        assert pc.aug == "subgraph" and pc.valid_size == 0.07
+        assert pc.featurize_processes == 12
+        assert pc.data_path == "data/pubchem-10m-clean.txt"
+        assert pc.temperature == 0.2 and pc.resume_from == ""
+
+        (tmp_path / "f.yaml").write_text(
+            "batch_size: 16\nepochs: 30\neval_every_n_epochs: 1\n"
+            "fine_tune_from: pretrained_gin\nlog_every_n_steps: 10\n"
+            "fp16_precision: False\ninit_lr: 0.0005\ninit_base_lr: 0.0002\n"
+            "weight_decay: 1e-6\ngpu: cuda:1\ntask_name: SIDER\n"
+            "model_type: gin\n"
+            "model:\n  num_layer: 5\n  emb_dim: 300\n  feat_dim: 512\n"
+            "  drop_ratio: 0.3\n  pool: mean\n"
+            "dataset:\n  num_workers: 4\n  valid_size: 0.1\n"
+            "  test_size: 0.1\n  splitting: scaffold\n")
+        fc = finetune_from_yaml(str(tmp_path / "f.yaml"))
+        assert fc.task_name == "SIDER" and fc.init_base_lr == 2e-4
+        assert fc.log_every_steps == 10 and fc.model.bf16 is False
+        assert fc.pretrained == "pretrained_gin"
+
+    def test_resolve_pretrained_reference_layout(self, tmp_path,
+                                                 monkeypatch):
+        """`fine_tune_from: <name>` resolves like the reference
+        (finetune.py:249: ./ckpt/<name>/checkpoints/model.pth), and Orbax
+        checkpoint dirs resolve to their newest step."""
+        from molclr_tpu.train.checkpoints import resolve_pretrained
+
+        monkeypatch.chdir(tmp_path)
+        pth = tmp_path / "ckpt" / "pretrained_gin" / "checkpoints"
+        pth.mkdir(parents=True)
+        (pth / "model.pth").write_bytes(b"x")
+        assert resolve_pretrained("pretrained_gin") == os.path.join(
+            "ckpt", "pretrained_gin", "checkpoints", "model.pth")
+
+        run = tmp_path / "runs" / "pre"
+        (run / "step_5").mkdir(parents=True)
+        (run / "step_40").mkdir()
+        assert resolve_pretrained(str(run)) == str(run / "step_40")
+        # explicit paths pass through untouched
+        assert resolve_pretrained(str(run / "step_5")) == str(run / "step_5")
+        assert resolve_pretrained("") == ""
+
 
 class TestMetricWriter:
     def test_jsonl_and_tensorboard_files(self, tmp_path):

@@ -52,6 +52,9 @@ def main() -> int:
     p.add_argument("--concat", action="store_true",
                    help="both contrastive views in ONE forward "
                         "(joint BN stats) instead of two sequential passes")
+    p.add_argument("--fused", action="store_true",
+                   help="fused Pallas GINE layer kernels "
+                        "(ops/fused_layer.py) instead of XLA op chains")
     args = p.parse_args()
 
     import jax
@@ -101,7 +104,7 @@ def main() -> int:
     model = MolCLRNet(
         num_layers=args.layers, emb_dim=args.emb_dim, gnn_type="gin",
         dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
-        tile=args.tile)
+        tile=args.tile, fused=args.fused)
     variables = jax.device_put(
         model.init(jax.random.PRNGKey(0), batch, train=False))
     tx = adam_torch(5e-4, 1e-5)

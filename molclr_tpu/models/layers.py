@@ -59,13 +59,22 @@ def torch_linear_bias(fan_in: int) -> Callable:
     return init
 
 
-def dense(features: int, name: str | None = None, in_features: int | None = None):
+def dense(features: int, name: str | None = None,
+          in_features: int | None = None, dtype=None):
     """nn.Dense with torch-default init (requires in_features for the bias
-    bound, matching torch's fan_in-dependent bias init)."""
+    bound, matching torch's fan_in-dependent bias init).
+
+    dtype is the COMPUTE dtype (flax semantics: params stay fp32 storage and
+    are cast for the GEMM; autodiff returns fp32 param grads through the
+    cast). Without it, flax promotes bf16 activations to fp32 GEMMs — on TPU
+    that silently runs every Dense at the fp32 MXU rate, so bf16 models must
+    pass their activation dtype here (the apex-O2 analog the reference gets
+    from amp, molclr.py:93-96)."""
     assert in_features is not None
     return nn.Dense(
         features,
         name=name,
+        dtype=dtype,
         kernel_init=torch_linear_kernel,
         bias_init=torch_linear_bias(in_features),
     )
@@ -114,22 +123,62 @@ class MaskedBatchNorm(nn.Module):
         return jnp.where(mask[:, None], y, 0)
 
 
+class _LinParams(nn.Module):
+    """Declares nn.Dense-identical params ({kernel, bias} with torch init)
+    without applying them — the fused-kernel path consumes the raw arrays
+    while keeping the parameter tree byte-compatible with the Dense path."""
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", torch_linear_kernel,
+                       (self.in_features, self.out_features))
+        b = self.param("bias", torch_linear_bias(self.in_features),
+                       (self.out_features,))
+        return k, b
+
+
 class GINEConv(nn.Module):
     """GINE convolution (no epsilon) over the ELL view.
 
     edge_emb = Emb(bond_type)[d] + Emb(bond_dir)[d]; the self-loop lives in
     ELL slot 0 with bond type 4 so no per-layer edge-set surgery is needed
     (the reference rebuilds self-loop tensors every layer,
-    ginet_molclr.py:31-37)."""
+    ginet_molclr.py:31-37).
+
+    fused=True runs the whole layer (aggregation + edge-embedding counts +
+    update MLP) as one Pallas kernel per 256-node tile (ops/fused_layer.py);
+    requires the tile-dense path (adj) plus the per-view count matrix cnt
+    precomputed by the trunk. Parameter tree is identical either way."""
 
     emb_dim: int
+    fused: bool = False
 
     @nn.compact
-    def __call__(self, h, batch, aug_nbr_mask=None, adj=None):
+    def __call__(self, h, batch, aug_nbr_mask=None, adj=None, cnt=None):
         e1 = self.param("edge_embedding1", xavier_uniform_embed,
                         (NUM_BOND_TYPES, self.emb_dim))
         e2 = self.param("edge_embedding2", xavier_uniform_embed,
                         (NUM_BOND_DIRS, self.emb_dim))
+        if self.fused:
+            assert adj is not None and cnt is not None, \
+                "fused GINEConv needs the tile-dense adj + trunk cnt"
+            from molclr_tpu.ops.fused_layer import (
+                fused_gine_layer,
+                pack_etab,
+            )
+            d = self.emb_dim
+            w1, b1 = _LinParams(d, 2 * d, name="mlp_0")()
+            w2, b2 = _LinParams(2 * d, d, name="mlp_1")()
+            etab = pack_etab(e1, e2, h.dtype)
+            # interpreter mode off-TPU so the CPU test mesh runs the same
+            # model code the TPU compiles (static at trace time)
+            return fused_gine_layer(
+                h, adj, cnt.astype(h.dtype), etab,
+                w1.astype(h.dtype), b1, w2.astype(h.dtype), b2,
+                jax.default_backend() != "tpu")
         nbr_mask = batch.nbr_mask if aug_nbr_mask is None else aug_nbr_mask
         if adj is not None:
             # tile-dense path: block-diagonal adjacency matmul on the MXU
@@ -147,9 +196,10 @@ class GINEConv(nn.Module):
                                  batch.nbr, batch.nbr_bond_type,
                                  batch.nbr_bond_dir, nbr_mask)
         d = self.emb_dim
-        out = dense(2 * d, name="mlp_0", in_features=d)(agg)
+        cd = h.dtype if h.dtype != jnp.float32 else None
+        out = dense(2 * d, name="mlp_0", in_features=d, dtype=cd)(agg)
         out = nn.relu(out)
-        out = dense(d, name="mlp_1", in_features=2 * d)(out)
+        out = dense(d, name="mlp_1", in_features=2 * d, dtype=cd)(out)
         return out
 
 

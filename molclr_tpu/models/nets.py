@@ -27,7 +27,9 @@ from molclr_tpu.models.layers import (
     dense,
     xavier_uniform_embed,
 )
-from molclr_tpu.ops.scatter_free import embed_lookup
+from molclr_tpu.data.featurize import NUM_BOND_DIRS, NUM_BOND_TYPES
+from molclr_tpu.ops.fused_layer import pack_cnt
+from molclr_tpu.ops.scatter_free import _counts, embed_lookup
 from molclr_tpu.ops.segment import graph_pool
 from molclr_tpu.ops.tile_dense import build_tile_adjacency
 
@@ -38,7 +40,13 @@ class GNNTrunk(nn.Module):
     tile > 0 selects the tile-dense aggregation path (ops/tile_dense.py):
     the block-diagonal adjacency is built ONCE here from the (augmented)
     masked ELL view and shared by every conv layer and by the backward pass.
-    Requires the batch to be packed with PadSpec(tile=tile)."""
+    Requires the batch to be packed with PadSpec(tile=tile).
+
+    fused=True (gin + tile only) additionally runs each conv layer as one
+    Pallas kernel per tile (ops/fused_layer.py): the per-view edge count
+    matrix is built once here and every layer's aggregation + MLP chain
+    stays in VMEM instead of round-tripping [N, D] / [N, 2D] intermediates
+    through HBM."""
 
     num_layers: int = 5
     emb_dim: int = 300
@@ -48,6 +56,7 @@ class GNNTrunk(nn.Module):
     normalize_gcn: bool = False     # True fixes quirk Q2
     dtype: jnp.dtype = jnp.float32
     tile: int = 0
+    fused: bool = False
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
@@ -63,11 +72,19 @@ class GNNTrunk(nn.Module):
         if self.tile:
             adj = build_tile_adjacency(batch.nbr, batch.nbr_mask, self.tile,
                                        dtype=self.dtype)
+        cnt = None
+        if self.fused:
+            assert self.tile and self.gnn_type == "gin", \
+                "fused layers require gnn_type='gin' and tile > 0"
+            w = batch.nbr_mask.astype(self.dtype)
+            cnt = pack_cnt(_counts(batch.nbr_bond_type, w, NUM_BOND_TYPES),
+                           _counts(batch.nbr_bond_dir, w, NUM_BOND_DIRS))
 
         for layer in range(self.num_layers):
             if self.gnn_type == "gin":
-                h = GINEConv(self.emb_dim, name=f"conv_{layer}")(
-                    h, batch, adj=adj)
+                h = GINEConv(self.emb_dim, fused=self.fused,
+                             name=f"conv_{layer}")(h, batch, adj=adj,
+                                                   cnt=cnt)
             elif self.gnn_type == "gcn":
                 h = GCNConv(self.emb_dim, normalize=self.normalize_gcn,
                             name=f"conv_{layer}")(h, batch, adj=adj)
@@ -94,34 +111,37 @@ class MolCLRNet(nn.Module):
     normalize_gcn: bool = False
     dtype: jnp.dtype = jnp.float32
     tile: int = 0
+    fused: bool = False
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
         h = GNNTrunk(self.num_layers, self.emb_dim, self.gnn_type,
                      self.drop_ratio, self.bn_axis_name, self.normalize_gcn,
-                     self.dtype, tile=self.tile, name="trunk")(batch, train)
+                     self.dtype, tile=self.tile, fused=self.fused,
+                     name="trunk")(batch, train)
         hg = graph_pool(h, batch.node_graph, batch.node_mask,
                         batch.num_graphs, batch.graph_n_nodes, self.pool)
+        cd = self.dtype if self.dtype != jnp.float32 else None
         hg = dense(self.feat_dim, name="feat_lin",
-                   in_features=self.emb_dim)(hg)
+                   in_features=self.emb_dim, dtype=cd)(hg)
         z = dense(self.feat_dim, name="out_lin_0",
-                  in_features=self.feat_dim)(hg)
+                  in_features=self.feat_dim, dtype=cd)(hg)
         z = nn.relu(z)
         z = dense(self.feat_dim // 2, name="out_lin_1",
-                  in_features=self.feat_dim)(z)
+                  in_features=self.feat_dim, dtype=cd)(z)
         return hg, z
 
 
 def _pred_head(h, feat_in: int, feat_dim: int, out_dim: int,
-               pred_n_layer: int, pred_act: str):
+               pred_n_layer: int, pred_act: str, dtype=None):
     act = {"softplus": nn.softplus, "relu": nn.relu}[pred_act]
     half = feat_dim // 2
-    h = dense(half, name="pred_0", in_features=feat_in)(h)
+    h = dense(half, name="pred_0", in_features=feat_in, dtype=dtype)(h)
     h = act(h)
     for i in range(1, max(1, pred_n_layer)):
-        h = dense(half, name=f"pred_{i}", in_features=half)(h)
+        h = dense(half, name=f"pred_{i}", in_features=half, dtype=dtype)(h)
         h = act(h)
-    return dense(out_dim, name="pred_out", in_features=half)(h)
+    return dense(out_dim, name="pred_out", in_features=half, dtype=dtype)(h)
 
 
 class FineTuneNet(nn.Module):
@@ -140,19 +160,22 @@ class FineTuneNet(nn.Module):
     normalize_gcn: bool = False
     dtype: jnp.dtype = jnp.float32
     tile: int = 0
+    fused: bool = False
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
         h = GNNTrunk(self.num_layers, self.emb_dim, self.gnn_type,
                      self.drop_ratio, self.bn_axis_name, self.normalize_gcn,
-                     self.dtype, tile=self.tile, name="trunk")(batch, train)
+                     self.dtype, tile=self.tile, fused=self.fused,
+                     name="trunk")(batch, train)
         hg = graph_pool(h, batch.node_graph, batch.node_mask,
                         batch.num_graphs, batch.graph_n_nodes, self.pool)
+        cd = self.dtype if self.dtype != jnp.float32 else None
         hg = dense(self.feat_dim, name="feat_lin",
-                   in_features=self.emb_dim)(hg)
+                   in_features=self.emb_dim, dtype=cd)(hg)
         out_dim = 2 if self.task == "classification" else 1
         pred = _pred_head(hg, self.feat_dim, self.feat_dim, out_dim,
-                          self.pred_n_layer, self.pred_act)
+                          self.pred_n_layer, self.pred_act, dtype=cd)
         return hg, pred
 
 
@@ -177,16 +200,19 @@ class LinkFineTuneNet(nn.Module):
     normalize_gcn: bool = False
     dtype: jnp.dtype = jnp.float32
     tile: int = 0
+    fused: bool = False
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
         h = GNNTrunk(self.num_layers, self.emb_dim, self.gnn_type,
                      self.drop_ratio, self.bn_axis_name, self.normalize_gcn,
-                     self.dtype, tile=self.tile, name="trunk")(batch, train)
+                     self.dtype, tile=self.tile, fused=self.fused,
+                     name="trunk")(batch, train)
         hg = graph_pool(h, batch.node_graph, batch.node_mask,
                         batch.num_graphs, batch.graph_n_nodes, self.pool)
+        cd = self.dtype if self.dtype != jnp.float32 else None
         hg = dense(self.feat_dim, name="feat_lin",
-                   in_features=self.emb_dim)(hg)
+                   in_features=self.emb_dim, dtype=cd)(hg)
 
         label_table = self.param("label_embedding",
                                  nn.initializers.normal(1.0),
@@ -237,16 +263,19 @@ class MotifFineTuneNet(nn.Module):
     normalize_gcn: bool = False
     dtype: jnp.dtype = jnp.float32
     tile: int = 0
+    fused: bool = False
 
     @nn.compact
     def __call__(self, batch, motif_ids, motif_mask, train: bool = False):
         h = GNNTrunk(self.num_layers, self.emb_dim, self.gnn_type,
                      self.drop_ratio, self.bn_axis_name, self.normalize_gcn,
-                     self.dtype, tile=self.tile, name="trunk")(batch, train)
+                     self.dtype, tile=self.tile, fused=self.fused,
+                     name="trunk")(batch, train)
         hg = graph_pool(h, batch.node_graph, batch.node_mask,
                         batch.num_graphs, batch.graph_n_nodes, self.pool)
+        cd = self.dtype if self.dtype != jnp.float32 else None
         hg = dense(self.feat_dim, name="feat_lin",
-                   in_features=self.emb_dim)(hg)
+                   in_features=self.emb_dim, dtype=cd)(hg)
 
         # torch nn.Embedding default init is N(0,1); normally overwritten by
         # init_motif_emb with encoder features of the clique fragments.
@@ -269,5 +298,5 @@ class MotifFineTuneNet(nn.Module):
         cat = jnp.concatenate([hg, hp], axis=-1)               # [G, 2F]
         out_dim = 2 if self.task == "classification" else 1
         pred = _pred_head(cat, 2 * self.feat_dim, self.feat_dim, out_dim,
-                          self.pred_n_layer, self.pred_act)
+                          self.pred_n_layer, self.pred_act, dtype=cd)
         return cat, pred

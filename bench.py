@@ -52,9 +52,11 @@ def main() -> int:
     p.add_argument("--concat", action="store_true",
                    help="both contrastive views in ONE forward "
                         "(joint BN stats) instead of two sequential passes")
-    p.add_argument("--fused", action="store_true",
+    p.add_argument("--fused", choices=["auto", "on", "off"], default="auto",
                    help="fused Pallas GINE layer kernels "
-                        "(ops/fused_layer.py) instead of XLA op chains")
+                        "(ops/fused_layer.py) instead of XLA op chains; "
+                        "auto = on for gin+tile on a real TPU (the fast "
+                        "path: 2.20 vs 2.77 ms step on v5e)")
     args = p.parse_args()
 
     import jax
@@ -101,10 +103,15 @@ def main() -> int:
     log(f"batch: {len(graphs)} mols, {n_nodes} atoms, {n_edges} directed "
         f"edges; padded {spec}")
 
+    from molclr_tpu.models import resolve_fused
+
+    fused = resolve_fused({"auto": None, "on": True, "off": False}
+                          [args.fused], "gin", args.tile)
+    log(f"fused Pallas layers: {fused}")
     model = MolCLRNet(
         num_layers=args.layers, emb_dim=args.emb_dim, gnn_type="gin",
         dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
-        tile=args.tile, fused=args.fused)
+        tile=args.tile, fused=fused)
     variables = jax.device_put(
         model.init(jax.random.PRNGKey(0), batch, train=False))
     tx = adam_torch(5e-4, 1e-5)

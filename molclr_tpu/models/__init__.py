@@ -21,10 +21,12 @@ from molclr_tpu.models.nets import (
     MolCLRNet,
     FineTuneNet,
     MotifFineTuneNet,
+    resolve_fused,
 )
 
 __all__ = [
     "MaskedBatchNorm", "GINEConv", "GCNConv",
     "xavier_uniform_embed", "torch_linear_kernel", "torch_linear_bias",
     "GNNTrunk", "MolCLRNet", "FineTuneNet", "MotifFineTuneNet", "LinkFineTuneNet",
+    "resolve_fused",
 ]

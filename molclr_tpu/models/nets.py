@@ -34,6 +34,18 @@ from molclr_tpu.ops.segment import graph_pool
 from molclr_tpu.ops.tile_dense import build_tile_adjacency
 
 
+def resolve_fused(fused: bool | None, gnn_type: str, tile: int) -> bool:
+    """Resolve ModelConfig.fused: None = auto (fused Pallas layers on a
+    real TPU when the model shape supports them — gin + tile-dense; the
+    interpreter-mode fallback used off-TPU is for parity, not speed)."""
+    if fused is None:
+        import jax
+
+        return (gnn_type == "gin" and tile > 0
+                and jax.default_backend() == "tpu")
+    return bool(fused)
+
+
 class GNNTrunk(nn.Module):
     """Shared encoder trunk producing node embeddings [N, emb_dim].
 

@@ -29,6 +29,15 @@ class ModelConfig:
                                     # packing; 0 = ELL gather path.
                                     # 256 measured fastest on v5e (26.0M
                                     # vs 15.7M edges/s for the gather path)
+    fused: bool | None = None       # run each GIN conv layer as ONE Pallas
+                                    # kernel per tile (aggregation + edge
+                                    # counts + update MLP in VMEM,
+                                    # ops/fused_layer.py; 2.77 -> 2.20 ms
+                                    # step on v5e). None = auto: on for
+                                    # gin+tile on a real TPU, off elsewhere
+                                    # (interpreter mode is for parity tests,
+                                    # not speed). Requires gnn_type='gin'
+                                    # and tile > 0 when forced True.
 
 
 @dataclass
@@ -145,6 +154,18 @@ _REF_MODEL_KEYS = {"num_layer": "num_layers", "drop_ratio": "drop_ratio",
                    "pool": "pool", "pred_n_layer": "pred_n_layer",
                    "pred_act": "pred_act"}
 
+# TPU-native extension keys accepted verbatim under the YAML `model:` block
+_EXT_MODEL_KEYS = ("tile", "fused", "bf16", "normalize_gcn", "gnn_type")
+
+
+def _apply_model_keys(model_cfg, raw: dict):
+    for src, dst in _REF_MODEL_KEYS.items():
+        if src in raw.get("model", {}):
+            setattr(model_cfg, dst, raw["model"][src])
+    for k in _EXT_MODEL_KEYS:
+        if k in raw.get("model", {}):
+            setattr(model_cfg, k, raw["model"][k])
+
 
 def pretrain_from_yaml(path: str) -> PretrainConfig:
     import yaml
@@ -172,9 +193,7 @@ def pretrain_from_yaml(path: str) -> PretrainConfig:
         cfg.model.gnn_type = raw["model_type"]
     if "load_model" in raw and raw["load_model"] not in (None, "None"):
         cfg.resume_from = str(raw["load_model"])
-    for src, dst in _REF_MODEL_KEYS.items():
-        if src in raw.get("model", {}):
-            setattr(cfg.model, dst, raw["model"][src])
+    _apply_model_keys(cfg.model, raw)
     loss = raw.get("loss", {})
     if "temperature" in loss:
         cfg.temperature = float(loss["temperature"])
@@ -219,9 +238,7 @@ def finetune_from_yaml(path: str) -> FineTuneConfig:
         cfg.pretrained = str(raw["fine_tune_from"])
     if "pretrained" in raw:
         cfg.pretrained = str(raw["pretrained"])
-    for src, dst in _REF_MODEL_KEYS.items():
-        if src in raw.get("model", {}):
-            setattr(cfg.model, dst, raw["model"][src])
+    _apply_model_keys(cfg.model, raw)
     ds = raw.get("dataset", {})
     for k in ("valid_size", "test_size", "splitting"):
         if k in ds:

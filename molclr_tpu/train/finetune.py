@@ -40,7 +40,7 @@ from molclr_tpu.data.loader import (
 from molclr_tpu.data.motifs import build_motif_vocab, encode_motif_vocab
 from molclr_tpu.data.splits import random_split, scaffold_split
 from molclr_tpu.data.tasks import TASKS, TaskSpec, qm9_label_scale
-from molclr_tpu.models import FineTuneNet, MotifFineTuneNet
+from molclr_tpu.models import FineTuneNet, MotifFineTuneNet, resolve_fused
 from molclr_tpu.train import checkpoints as ckpt_lib
 from molclr_tpu.train.config import FineTuneConfig
 from molclr_tpu.train.metrics import (
@@ -141,7 +141,8 @@ class FineTuner:
             feat_dim=m.feat_dim, gnn_type=m.gnn_type, pool=m.pool,
             drop_ratio=m.drop_ratio, pred_n_layer=m.pred_n_layer,
             pred_act=m.pred_act, normalize_gcn=m.normalize_gcn,
-            dtype=jnp.bfloat16 if m.bf16 else jnp.float32, tile=m.tile)
+            dtype=jnp.bfloat16 if m.bf16 else jnp.float32, tile=m.tile,
+            fused=resolve_fused(m.fused, m.gnn_type, m.tile))
 
     # ---- data ----
     def setup_data(self, shared: SharedTaskData | None = None):

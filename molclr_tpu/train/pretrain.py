@@ -28,7 +28,7 @@ from molclr_tpu.data.loader import (
     spec_for_graphs,
 )
 from molclr_tpu.losses import nt_xent_loss
-from molclr_tpu.models import MolCLRNet
+from molclr_tpu.models import MolCLRNet, resolve_fused
 from molclr_tpu.train import checkpoints as ckpt_lib
 from molclr_tpu.train.config import PretrainConfig, to_dict
 from molclr_tpu.train.optim import adam_torch, warmup_then_cosine
@@ -45,7 +45,8 @@ class Pretrainer:
             normalize_gcn=m.normalize_gcn,
             bn_axis_name=cfg.data_axis or None,
             dtype=jnp.bfloat16 if m.bf16 else jnp.float32,
-            tile=m.tile)
+            tile=m.tile,
+            fused=resolve_fused(m.fused, m.gnn_type, m.tile))
         self._train_step = None
         self._eval_step = None
 

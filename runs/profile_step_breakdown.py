@@ -41,6 +41,8 @@ def main() -> int:
     p.add_argument("--k2", type=int, default=96)
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--fused", choices=["auto", "on", "off"], default="auto",
+                   help="fused Pallas GINE layers (ops/fused_layer.py)")
     args = p.parse_args()
 
     import jax
@@ -81,8 +83,13 @@ def main() -> int:
     log(f"batch: {len(graphs)} mols, {n_nodes} atoms, {n_edges} edges, "
         f"{spec}")
 
+    from molclr_tpu.models import resolve_fused
+
+    fused = resolve_fused({"auto": None, "on": True, "off": False}
+                          [args.fused], "gin", args.tile)
+    log(f"fused Pallas layers: {fused}")
     model = MolCLRNet(num_layers=5, emb_dim=300, gnn_type="gin",
-                      dtype=jnp.bfloat16, tile=args.tile)
+                      dtype=jnp.bfloat16, tile=args.tile, fused=fused)
     variables = jax.device_put(
         model.init(jax.random.PRNGKey(0), batch, train=False))
     tx = adam_torch(5e-4, 1e-5)

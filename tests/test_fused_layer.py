@@ -89,8 +89,9 @@ class TestKernelParity:
         same constant output as the unfused path and zero dh."""
         rng = np.random.RandomState(2)
         h, adj, cnt_t, cnt_d, e1, e2, w1, b1, w2, b2 = _random_problem(rng)
-        adj = np.asarray(adj)
-        adj[1] = 0.0                        # tile 1 entirely padding
+        adj = np.array(adj)                 # writable copy (asarray of a
+        adj[1] = 0.0                        # jax array is read-only)
+        #                                     tile 1 entirely padding
         adj = jnp.asarray(adj)
         cnt_t = cnt_t.at[8:16].set(0.0)
         cnt_d = cnt_d.at[8:16].set(0.0)

@@ -39,6 +39,7 @@ def main() -> int:
     p.add_argument("--emb-dim", type=int, default=300)
     p.add_argument("--dtype", choices=["bf16", "fp32"], default="bf16")
     p.add_argument("--aug", default="node")
+    p.add_argument("--gnn", choices=["gin", "gcn"], default="gin")
     p.add_argument("--k1", type=int, default=16)
     p.add_argument("--k2", type=int, default=96)
     p.add_argument("--reps", type=int, default=5)
@@ -106,10 +107,10 @@ def main() -> int:
     from molclr_tpu.models import resolve_fused
 
     fused = resolve_fused({"auto": None, "on": True, "off": False}
-                          [args.fused], "gin", args.tile)
+                          [args.fused], args.gnn, args.tile)
     log(f"fused Pallas layers: {fused}")
     model = MolCLRNet(
-        num_layers=args.layers, emb_dim=args.emb_dim, gnn_type="gin",
+        num_layers=args.layers, emb_dim=args.emb_dim, gnn_type=args.gnn,
         dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
         tile=args.tile, fused=fused)
     variables = jax.device_put(
@@ -189,6 +190,8 @@ def main() -> int:
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
     key = f"{dev.platform}_{args.dtype}_b{args.batch_size}_l{args.layers}"
+    if args.gnn != "gin":
+        key = f"{key}_{args.gnn}"
     baselines = {}
     if os.path.exists(base_path):
         baselines = json.load(open(base_path))
@@ -202,8 +205,8 @@ def main() -> int:
     vs = value / baselines[key]
 
     print(json.dumps({
-        "metric": "edges/sec/chip (GIN-5L pretrain fwd+bwd, "
-                  f"{args.dtype}, B={len(graphs)})",
+        "metric": f"edges/sec/chip ({args.gnn.upper()}-{args.layers}L "
+                  f"pretrain fwd+bwd, {args.dtype}, B={len(graphs)})",
         "value": round(value, 1),
         "unit": "edges/s",
         "vs_baseline": round(vs, 4),

@@ -208,10 +208,16 @@ class GCNConv(nn.Module):
 
     Default normalize=False reproduces the reference's discarded gcn_norm
     (quirk Q2); normalize=True applies the intended symmetric normalization
-    computed from the (masked) degree including self-loops."""
+    computed from the (masked) degree including self-loops.
+
+    fused=True (tile only) runs the A @ (x @ W) GEMM chain as one Pallas
+    kernel per tile (ops/fused_gcn.py); the scalar edge term and bias stay
+    in XLA (elementwise, fused into the following BatchNorm). Parameter
+    tree is identical either way."""
 
     emb_dim: int
     normalize: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, h, batch, aug_nbr_mask=None, adj=None):
@@ -252,10 +258,22 @@ class GCNConv(nn.Module):
                 dis_b = dis.reshape(-1, tile)
                 adj = adj * jax.lax.stop_gradient(
                     dis_b[:, :, None] * dis_b[:, None, :]).astype(adj.dtype)
-            out = gcn_tile_aggregate(x, e1.astype(h.dtype),
-                                     e2.astype(h.dtype), adj,
-                                     batch.nbr_bond_type,
-                                     batch.nbr_bond_dir, nbr_mask, norm)
+            if self.fused:
+                from molclr_tpu.ops.fused_gcn import fused_gcn_layer
+                from molclr_tpu.ops.tile_dense import gcn_edge_term
+
+                out = fused_gcn_layer(
+                    h, adj, weight.astype(h.dtype),
+                    jax.default_backend() != "tpu")
+                out = out + gcn_edge_term(
+                    e1.astype(h.dtype), e2.astype(h.dtype),
+                    batch.nbr_bond_type, batch.nbr_bond_dir, nbr_mask,
+                    norm, h.dtype)
+            else:
+                out = gcn_tile_aggregate(x, e1.astype(h.dtype),
+                                         e2.astype(h.dtype), adj,
+                                         batch.nbr_bond_type,
+                                         batch.nbr_bond_dir, nbr_mask, norm)
         else:
             out = gcn_aggregate(x, e1.astype(h.dtype), e2.astype(h.dtype),
                                 batch.nbr, batch.nbr_bond_type,

@@ -36,12 +36,12 @@ from molclr_tpu.ops.tile_dense import build_tile_adjacency
 
 def resolve_fused(fused: bool | None, gnn_type: str, tile: int) -> bool:
     """Resolve ModelConfig.fused: None = auto (fused Pallas layers on a
-    real TPU when the model shape supports them — gin + tile-dense; the
-    interpreter-mode fallback used off-TPU is for parity, not speed)."""
+    real TPU when the model shape supports them — gin/gcn + tile-dense;
+    the interpreter-mode fallback used off-TPU is for parity, not speed)."""
     if fused is None:
         import jax
 
-        return (gnn_type == "gin" and tile > 0
+        return (gnn_type in ("gin", "gcn") and tile > 0
                 and jax.default_backend() == "tpu")
     return bool(fused)
 
@@ -86,11 +86,13 @@ class GNNTrunk(nn.Module):
                                        dtype=self.dtype)
         cnt = None
         if self.fused:
-            assert self.tile and self.gnn_type == "gin", \
-                "fused layers require gnn_type='gin' and tile > 0"
-            w = batch.nbr_mask.astype(self.dtype)
-            cnt = pack_cnt(_counts(batch.nbr_bond_type, w, NUM_BOND_TYPES),
-                           _counts(batch.nbr_bond_dir, w, NUM_BOND_DIRS))
+            assert self.tile and self.gnn_type in ("gin", "gcn"), \
+                "fused layers require gnn_type in ('gin','gcn') and tile > 0"
+            if self.gnn_type == "gin":
+                w = batch.nbr_mask.astype(self.dtype)
+                cnt = pack_cnt(
+                    _counts(batch.nbr_bond_type, w, NUM_BOND_TYPES),
+                    _counts(batch.nbr_bond_dir, w, NUM_BOND_DIRS))
 
         for layer in range(self.num_layers):
             if self.gnn_type == "gin":
@@ -99,6 +101,7 @@ class GNNTrunk(nn.Module):
                                                    cnt=cnt)
             elif self.gnn_type == "gcn":
                 h = GCNConv(self.emb_dim, normalize=self.normalize_gcn,
+                            fused=self.fused,
                             name=f"conv_{layer}")(h, batch, adj=adj)
             else:
                 raise ValueError(f"unknown gnn_type {self.gnn_type!r}")

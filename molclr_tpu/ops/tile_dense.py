@@ -87,19 +87,25 @@ def gine_tile_aggregate(h, t_type, t_dir, adj, bt, bd, mask):
     return out
 
 
+def gcn_edge_term(t_type, t_dir, bt, bd, mask, norm, dtype):
+    """The [N, 1] scalar edge-embedding sum of GCN aggregation:
+    sum over incident edges of (Emb1(bond_type) + Emb2(bond_dir)),
+    weighted by the symmetric normalization when norm is given."""
+    w = mask.astype(dtype)
+    if norm is not None:
+        w = w * norm.astype(dtype)
+    w = jax.lax.stop_gradient(w)
+    cnt_t = _counts(bt, w, t_type.shape[0])
+    cnt_d = _counts(bd, w, t_dir.shape[0])
+    return (_matmul(cnt_t, t_type.astype(dtype), dtype)
+            + _matmul(cnt_d, t_dir.astype(dtype), dtype))   # [N, 1]
+
+
 def gcn_tile_aggregate(x, t_type, t_dir, adj, bt, bd, mask, norm=None):
     """Tile-dense GCN aggregation with scalar edge embeddings.
 
     `adj` must already carry the normalization weights when norm is used
     (build_tile_adjacency(..., w=mask * norm)); `norm` here only weights the
     scalar edge-embedding counts, mirroring gcn_aggregate."""
-    out = tile_matmul(adj, x)
-    w = mask.astype(x.dtype)
-    if norm is not None:
-        w = w * norm.astype(x.dtype)
-    w = jax.lax.stop_gradient(w)
-    cnt_t = _counts(bt, w, t_type.shape[0])
-    cnt_d = _counts(bd, w, t_dir.shape[0])
-    e = (_matmul(cnt_t, t_type.astype(x.dtype), x.dtype)
-         + _matmul(cnt_d, t_dir.astype(x.dtype), x.dtype))  # [N, 1]
-    return out + e
+    return tile_matmul(adj, x) + gcn_edge_term(
+        t_type, t_dir, bt, bd, mask, norm, x.dtype)

@@ -116,6 +116,75 @@ class TestKernelParity:
         np.testing.assert_array_equal(np.asarray(etab[8:]), 0.0)
 
 
+class TestGCNKernel:
+    """ops/fused_gcn.py: A @ (x @ W) pinned against the two-GEMM form."""
+
+    def _problem(self, rng, t=3, s=8, d=12):
+        n = t * s
+        x = jnp.asarray(rng.randn(n, d).astype(np.float32))
+        blocks = []
+        for _ in range(t):
+            a = (rng.rand(s, s) < 0.3).astype(np.float32)
+            a = np.maximum(a, a.T)
+            np.fill_diagonal(a, 1.0)
+            blocks.append(a)
+        adj = jnp.asarray(np.stack(blocks))
+        w = jnp.asarray(rng.randn(d, d).astype(np.float32)) * 0.2
+        return x, adj, w
+
+    def test_forward_and_grads(self):
+        from molclr_tpu.ops.fused_gcn import fused_gcn_layer
+
+        rng = np.random.RandomState(5)
+        x, adj, w = self._problem(rng)
+        t, s, _ = adj.shape
+        n, d = x.shape
+
+        def ref(x, w):
+            xw = (x @ w).reshape(t, s, d)
+            return jnp.einsum("tij,tjd->tid", adj, xw).reshape(n, d)
+
+        out = fused_gcn_layer(x, adj, w, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref(x, w)),
+                                   rtol=1e-5, atol=1e-5)
+        gu = jax.grad(lambda x, w: (ref(x, w) ** 2).sum(), (0, 1))(x, w)
+        gf = jax.grad(lambda x, w: (fused_gcn_layer(x, adj, w, True)
+                                    ** 2).sum(), (0, 1))(x, w)
+        for name, a, b in zip(("x", "w"), gu, gf):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-4,
+                                       err_msg=f"grad mismatch for {name}")
+
+    @pytest.mark.parametrize("normalize", [False, True])
+    def test_gcn_model_parity(self, packed_batch, normalize):
+        kw = dict(num_layers=3, emb_dim=32, feat_dim=64, gnn_type="gcn",
+                  tile=64, normalize_gcn=normalize)
+        m0 = MolCLRNet(**kw)
+        m1 = MolCLRNet(**kw, fused=True)
+        v = m0.init(jax.random.PRNGKey(0), packed_batch, train=False)
+        v1 = m1.init(jax.random.PRNGKey(0), packed_batch, train=False)
+        assert (jax.tree_util.tree_structure(v)
+                == jax.tree_util.tree_structure(v1))
+        _, z0 = m0.apply(v, packed_batch, train=False)
+        _, z1 = m1.apply(v, packed_batch, train=False)
+        np.testing.assert_allclose(np.asarray(z1), np.asarray(z0),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss(m, params):
+            (_, z), _ = m.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                packed_batch, train=True, mutable=["batch_stats"])
+            return (z.astype(jnp.float32) ** 2).mean()
+
+        g0 = jax.tree_util.tree_leaves(jax.grad(
+            lambda p: loss(m0, p))(v["params"]))
+        g1 = jax.tree_util.tree_leaves(jax.grad(
+            lambda p: loss(m1, p))(v["params"]))
+        for a, b in zip(g0, g1):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-5)
+
+
 @pytest.fixture(scope="module")
 def packed_batch():
     smiles = synthetic_corpus(32, seed=7)

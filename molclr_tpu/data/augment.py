@@ -148,6 +148,64 @@ def _rand_keys(rng, n):
     return jax.random.randint(rng, (n,), 0, 1 << 20, dtype=jnp.int32)
 
 
+def _hash_salts(rng):
+    """Two int32 salts for _mix_keys, drawn once per stochastic draw."""
+    return jax.random.randint(rng, (2,), 0, jnp.iinfo(jnp.int32).max,
+                              dtype=jnp.int32)
+
+
+def _mix_keys(salts, ids):
+    """Uniform int32 keys in [0, 1<<20) as a pure ELEMENTWISE hash of the
+    ids (murmur3-finalizer avalanche, salted per draw).
+
+    The point: the same bond's key is computable at EVERY consumer site —
+    the contiguous bond buffer (ranking) and the [N, K] ELL slots
+    (nbr_bond ids) — without gathering from a bond-indexed table.
+    Arbitrary gathers from >~1k-entry tables run ~100x slower than
+    elementwise ops on this TPU (runs/profile_aug.py: the two
+    _apply_bond_drop takes were 0.30 of the 0.60 ms augmentation cost;
+    graph-table [G=512] gathers measure free)."""
+    x = ids.astype(jnp.uint32) ^ salts[0].astype(jnp.uint32)
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16) ^ salts[1].astype(jnp.uint32)
+    return (x >> 12).astype(jnp.int32)          # [0, 1<<20)
+
+
+def _bond_threshold(batch, key_b, rank_b, k_b):
+    """Per-graph lexicographic drop threshold (hc, bc): bond b of graph g
+    is dropped iff (key(b), b) <= (hc[g], bc[g]).
+
+    Equivalent to rank_b < k_b[graph] — the threshold is the (k_b-1)-ranked
+    bond's (key, id) pair, selected per graph with a one-hot matmul (no
+    scatters); graphs with k_b == 0 get (-1, -1), below every real key."""
+    g = batch.num_graphs
+    sel = batch.bond_mask & (rank_b == k_b[batch.bond_graph] - 1)
+    oh = jax.nn.one_hot(batch.bond_graph, g, dtype=jnp.float32)   # [B, G]
+    selv = sel.astype(jnp.float32)
+    b_ids = jnp.arange(batch.num_bonds, dtype=jnp.float32)
+    vals = jnp.stack([selv * key_b.astype(jnp.float32),
+                      selv * b_ids], axis=1)                      # [B, 2]
+    thr = jax.lax.dot_general(oh, vals, (((0,), (0,)), ((), ())))  # [G, 2]
+    have = k_b > 0
+    hc = jnp.where(have, thr[:, 0].astype(jnp.int32), -1)
+    bc = jnp.where(have, thr[:, 1].astype(jnp.int32), -1)
+    return hc, bc
+
+
+def _nbr_mask_lex_drop(batch, salts, hc, bc):
+    """Gather-free ELL update for a lex-threshold bond drop: recompute each
+    slot's bond key elementwise from nbr_bond and compare against the
+    node's graph threshold (graph-table gathers are free)."""
+    keys = _mix_keys(salts, batch.nbr_bond)                 # [N, K]
+    is_bond = batch.nbr_bond < batch.num_bonds              # excl. sentinel
+    hcn = jnp.take(hc, batch.node_graph)[:, None]
+    bcn = jnp.take(bc, batch.node_graph)[:, None]
+    drop = is_bond & ((keys < hcn)
+                      | ((keys == hcn) & (batch.nbr_bond <= bcn)))
+    return batch.nbr_mask & jnp.logical_not(drop)
+
+
 def _mask_atoms(batch, flag):
     atom_type = jnp.where(flag, MASK_ATOM_TYPE, batch.atom_type)
     chirality = jnp.where(flag, 0, batch.chirality)
@@ -173,6 +231,29 @@ def _bond_endpoints(batch):
     return batch.src[0::2], batch.dst[0::2]
 
 
+def _flag_at_nbr_tile(flag, nbr, tile: int):
+    """flag[nbr] for a tile-aligned batch WITHOUT an arbitrary gather.
+
+    Every neighbor is in the node's own tile (packing contract), so the
+    lookup is a per-slot one-hot compare against the node's [tile] block
+    of `flag` — the build_tile_adjacency accumulation pattern. Arbitrary
+    [N, K] gathers from the node table measure ~5x slower than these
+    compare-reduces on v5e (runs/profile_aug.py). Out-of-tile ids (padded
+    slots carry global 0) one-hot to all-zero rows -> False."""
+    n, k_slots = nbr.shape
+    t = n // tile
+    base = (jnp.arange(n, dtype=jnp.int32) // tile) * tile
+    local = nbr - base[:, None]
+    fb = jnp.broadcast_to(
+        flag.reshape(t, 1, tile).astype(jnp.float32),
+        (t, tile, tile)).reshape(n, tile)
+    cols = []
+    for k in range(k_slots):
+        oh = jax.nn.one_hot(local[:, k], tile, dtype=jnp.float32)
+        cols.append((oh * fb).sum(axis=1))
+    return jnp.stack(cols, axis=1) > 0.5           # [N, K] bool
+
+
 def node_augment(batch, rng, node_frac: float = 0.25,
                  bond_frac: float = 0.25, tile: int = 0,
                  bond_window: int = 0):
@@ -189,11 +270,19 @@ def node_augment(batch, rng, node_frac: float = 0.25,
     mask_flag = batch.node_mask & (rank_n < k_n[batch.node_graph])
     atom_type, chirality = _mask_atoms(batch, mask_flag)
 
-    rank_b = _bond_ranks(batch, _rand_keys(rng_b, batch.num_bonds),
-                         bond_window)
+    # bond keys are an elementwise hash of the bond id (_mix_keys) so the
+    # ELL view updates WITHOUT the [N, K]-from-bond-table gather that
+    # dominated augmentation cost (runs/profile_aug.py)
+    salts = _hash_salts(rng_b)
+    key_b = _mix_keys(salts, jnp.arange(batch.num_bonds, dtype=jnp.int32))
+    rank_b = _bond_ranks(batch, key_b, bond_window)
     k_b = jnp.floor(bond_frac * batch.graph_n_bonds).astype(jnp.int32)
     drop_bond = batch.bond_mask & (rank_b < k_b[batch.bond_graph])
-    edge_mask, nbr_mask = _apply_bond_drop(batch, drop_bond)
+    # COO view: legacy keep-table gather (dead code under the tile-dense /
+    # fused consumers, which only read the ELL view)
+    edge_mask, _ = _apply_bond_drop(batch, drop_bond)
+    hc, bc = _bond_threshold(batch, key_b, rank_b, k_b)
+    nbr_mask = _nbr_mask_lex_drop(batch, salts, hc, bc)
     return batch.replace(atom_type=atom_type, chirality=chirality,
                          edge_mask=edge_mask, nbr_mask=nbr_mask)
 
@@ -358,15 +447,28 @@ def _subgraph_removal_pair(batch, rng_s, rng_ts, k_subs, max_waves: int,
     return out[0], out[1]
 
 
-def _finish_subgraph(batch, removed):
+def _finish_subgraph(batch, removed, tile: int = 0):
     """Mask removed atoms and drop bonds touching them (the per-view tail
-    of subgraph removal, ref dataset_subgraph.py:137-172)."""
+    of subgraph removal, ref dataset_subgraph.py:137-172).
+
+    On tiled batches the ELL view updates gather-free: a slot drops iff
+    either endpoint is removed, evaluated in slot space via
+    _flag_at_nbr_tile (same predicate as the bond-space drop, so the COO
+    and ELL views agree exactly). The COO chain keeps the legacy keep-
+    table gathers — dead code under the tile-dense/fused consumers."""
     atom_type, chirality = _mask_atoms(batch, removed)
     bsrc, bdst = _bond_endpoints(batch)
     rem = removed.astype(jnp.int32)  # int32 gathers (see _apply_bond_drop)
     drop_bond = batch.bond_mask & (
         (jnp.take(rem, bsrc) | jnp.take(rem, bdst)) > 0)
-    edge_mask, nbr_mask = _apply_bond_drop(batch, drop_bond)
+    edge_mask, nbr_legacy = _apply_bond_drop(batch, drop_bond)
+    if tile:
+        is_bond = batch.nbr_bond < batch.num_bonds
+        drop_slot = is_bond & (
+            removed[:, None] | _flag_at_nbr_tile(removed, batch.nbr, tile))
+        nbr_mask = batch.nbr_mask & jnp.logical_not(drop_slot)
+    else:
+        nbr_mask = nbr_legacy
     return batch.replace(atom_type=atom_type, chirality=chirality,
                          edge_mask=edge_mask, nbr_mask=nbr_mask)
 
@@ -383,7 +485,7 @@ def subgraph_augment(batch, rng, frac: float = 0.25, max_waves: int = 32,
     k_sub = jnp.floor(frac * batch.graph_n_nodes).astype(jnp.int32)
     removed = _subgraph_removal(batch, rng_s, rng_t, k_sub, max_waves,
                                 start_rank_slot, tile, bfs_stride)
-    return _finish_subgraph(batch, removed)
+    return _finish_subgraph(batch, removed, tile)
 
 
 @partial(jax.jit, static_argnames=("frac", "max_waves", "tile",
@@ -399,7 +501,8 @@ def paired_subgraph_augment(batch, rng_i, rng_j, rng_start,
     rem_i, rem_j = _subgraph_removal_pair(batch, rng_start, rng_ts,
                                           (k_sub, k_sub), max_waves, tile,
                                           bfs_stride)
-    return _finish_subgraph(batch, rem_i), _finish_subgraph(batch, rem_j)
+    return (_finish_subgraph(batch, rem_i, tile),
+            _finish_subgraph(batch, rem_j, tile))
 
 
 def _finish_mix(batch, removed, rng_n, rng_b, node_frac: float,
@@ -429,13 +532,35 @@ def _finish_mix(batch, removed, rng_n, rng_b, node_frac: float,
     drop_sub = batch.bond_mask & (
         (jnp.take(rem, bsrc) | jnp.take(rem, bdst)) > 0)
     keep_cap = jnp.ceil(bond_keep * batch.graph_n_bonds).astype(jnp.int32)
-    bkey = jnp.where(drop_sub, _INF_TIME,
-                     _rand_keys(rng_b, batch.num_bonds))
+    salts = _hash_salts(rng_b)
+    hash_b = _mix_keys(salts, jnp.arange(batch.num_bonds, dtype=jnp.int32))
+    bkey = jnp.where(drop_sub, _INF_TIME, hash_b)
     brank = _bond_ranks(batch, bkey, bond_window)
     # surviving bonds rank first; keep only the first keep_cap of them
     drop_extra = (batch.bond_mask & jnp.logical_not(drop_sub)
                   & (brank >= keep_cap[batch.bond_graph]))
-    edge_mask, nbr_mask = _apply_bond_drop(batch, drop_sub | drop_extra)
+    edge_mask, nbr_legacy = _apply_bond_drop(batch, drop_sub | drop_extra)
+    if tile:
+        # ELL view gather-free: endpoint-removal drop in slot space plus
+        # the lex KEEP threshold — a slot's bond key is where(drop_sub,
+        # INF, hash(bond id)), all computable per slot; kept bonds are the
+        # keep_cap lowest (key, id) pairs, everything else drops. The
+        # drop_sub predicate is identical in both spaces, so COO and ELL
+        # agree exactly.
+        is_bond = batch.nbr_bond < batch.num_bonds
+        drop_sub_slot = is_bond & (
+            removed[:, None] | _flag_at_nbr_tile(removed, batch.nbr, tile))
+        hc, bc = _bond_threshold(batch, bkey, brank, keep_cap)
+        key_slot = jnp.where(drop_sub_slot, _INF_TIME,
+                             _mix_keys(salts, batch.nbr_bond))
+        hcn = jnp.take(hc, batch.node_graph)[:, None]
+        bcn = jnp.take(bc, batch.node_graph)[:, None]
+        keep_slot = ((key_slot < hcn)
+                     | ((key_slot == hcn) & (batch.nbr_bond <= bcn)))
+        drop_slot = drop_sub_slot | (is_bond & jnp.logical_not(keep_slot))
+        nbr_mask = batch.nbr_mask & jnp.logical_not(drop_slot)
+    else:
+        nbr_mask = nbr_legacy
     return batch.replace(atom_type=atom_type, chirality=chirality,
                          edge_mask=edge_mask, nbr_mask=nbr_mask)
 

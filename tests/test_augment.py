@@ -190,6 +190,50 @@ class TestPaired:
                 or (np.asarray(vi.edge_mask) != np.asarray(vj.edge_mask)).any())
 
 
+class TestTiledEllConsistency:
+    """The gather-free tiled ELL updates (lex thresholds, slot-space
+    endpoint drops, _flag_at_nbr_tile) must agree EXACTLY with the COO
+    edge view, which keeps the legacy keep-table gathers — for every
+    augmentation kind and across seeds."""
+
+    def _tiled_batch(self):
+        spec = PadSpec(n_graphs=6, n_nodes=128, n_edges=224, max_degree=6,
+                       tile=32, max_graph_bonds=16)
+        return pack_batch([featurize_smiles(s) for s in SMILES], spec)
+
+    @pytest.mark.parametrize("kind", ["node", "subgraph", "mix"])
+    def test_ell_matches_coo(self, kind):
+        batch = self._tiled_batch()
+        for seed in (0, 1, 2, 3):
+            vi, vj = paired_augment(batch, jax.random.PRNGKey(seed), kind,
+                                    tile=32, bond_window=16)
+            for aug in (vi, vj):
+                dead = {int(b) for b in np.asarray(batch.edge_bond)[
+                    np.asarray(batch.edge_mask)
+                    & ~np.asarray(aug.edge_mask)]}
+                nbr_alive = np.asarray(aug.nbr_mask)
+                nbr_bond = np.asarray(batch.nbr_bond)
+                nm = np.asarray(batch.nbr_mask)
+                for n in range(batch.num_nodes):
+                    for k in range(nbr_bond.shape[1]):
+                        if nm[n, k]:
+                            expect = int(nbr_bond[n, k]) not in dead
+                            assert bool(nbr_alive[n, k]) == expect, \
+                                (kind, seed, n, k)
+                # self-loop slots always survive
+                assert nbr_alive[np.asarray(batch.node_mask), 0].all()
+
+    def test_flag_at_nbr_tile_matches_gather(self):
+        from molclr_tpu.data.augment import _flag_at_nbr_tile
+
+        batch = self._tiled_batch()
+        rng = np.random.RandomState(0)
+        flag = jnp.asarray(rng.rand(batch.num_nodes) < 0.3)
+        out = _flag_at_nbr_tile(flag, batch.nbr, 32)
+        ref = jnp.take(flag.astype(jnp.int32), batch.nbr, axis=0) > 0
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 class TestWindowedBondRanks:
     """The sort-free windowed bond ranking (_segment_ranks_window) must be
     bit-identical to the lexsort ranking on every valid row, and the

@@ -81,15 +81,27 @@ def dense(features: int, name: str | None = None,
 
 
 class MaskedBatchNorm(nn.Module):
-    """BatchNorm1d over masked rows with optional cross-device stat sync."""
+    """BatchNorm1d over masked rows with optional cross-device stat sync.
+
+    Two call modes sharing one parameter/variable tree:
+      y = bn(x, mask, train)            — classic: stats from x, returns
+                                          the normalized array
+      a, b = bn(None, mask, train,      — coefficient mode for the
+                moments=(tot, tot_sq,     BN-chained fused kernels: stats
+                count))                   come from externally-accumulated
+                                          moments (ops/fused_layer.py
+                                          epilogue sums); returns the fp32
+                                          affine pair so y = x*a + b.
+    The coefficient mode runs the identical stat/running-update flow, so
+    DP psums and torch running-stat semantics are preserved."""
 
     momentum: float = 0.1
     eps: float = 1e-5
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, x, mask, train: bool):
-        d = x.shape[-1]
+    def __call__(self, x, mask, train: bool, moments=None):
+        d = x.shape[-1] if x is not None else moments[0].shape[-1]
         scale = self.param("scale", nn.initializers.ones, (d,))
         bias = self.param("bias", nn.initializers.zeros, (d,))
         ra_mean = self.variable("batch_stats", "mean",
@@ -98,10 +110,13 @@ class MaskedBatchNorm(nn.Module):
                                lambda: jnp.ones(d, jnp.float32))
 
         if train:
-            m = mask.astype(jnp.float32)[:, None]
-            count = m.sum()
-            total = (x.astype(jnp.float32) * m).sum(axis=0)
-            total_sq = ((x.astype(jnp.float32) ** 2) * m).sum(axis=0)
+            if moments is None:
+                m = mask.astype(jnp.float32)[:, None]
+                count = m.sum()
+                total = (x.astype(jnp.float32) * m).sum(axis=0)
+                total_sq = ((x.astype(jnp.float32) ** 2) * m).sum(axis=0)
+            else:
+                total, total_sq, count = moments
             if self.axis_name is not None:
                 count = jax.lax.psum(count, self.axis_name)
                 total = jax.lax.psum(total, self.axis_name)
@@ -119,6 +134,9 @@ class MaskedBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         inv = jax.lax.rsqrt(var + self.eps)
+        if x is None:
+            a = inv * scale
+            return a, bias - mean * a
         y = (x - mean.astype(x.dtype)) * (inv.astype(x.dtype) * scale) + bias
         return jnp.where(mask[:, None], y, 0)
 
@@ -157,7 +175,8 @@ class GINEConv(nn.Module):
     fused: bool = False
 
     @nn.compact
-    def __call__(self, h, batch, aug_nbr_mask=None, adj=None, cnt=None):
+    def __call__(self, h, batch, aug_nbr_mask=None, adj=None, cnt=None,
+                 bn_in=None, nmask_col=None):
         e1 = self.param("edge_embedding1", xavier_uniform_embed,
                         (NUM_BOND_TYPES, self.emb_dim))
         e2 = self.param("edge_embedding2", xavier_uniform_embed,
@@ -166,6 +185,7 @@ class GINEConv(nn.Module):
             assert adj is not None and cnt is not None, \
                 "fused GINEConv needs the tile-dense adj + trunk cnt"
             from molclr_tpu.ops.fused_layer import (
+                fused_gine_bn_layer,
                 fused_gine_layer,
                 pack_etab,
             )
@@ -175,10 +195,19 @@ class GINEConv(nn.Module):
             etab = pack_etab(e1, e2, h.dtype)
             # interpreter mode off-TPU so the CPU test mesh runs the same
             # model code the TPU compiles (static at trace time)
+            interpret = jax.default_backend() != "tpu"
+            if bn_in is not None:
+                # BN-chained mode: the previous BatchNorm's affine (+relu)
+                # is this kernel's prologue; returns (out, moment sums)
+                a, b, relu_in = bn_in
+                return fused_gine_bn_layer(
+                    h, a, b, nmask_col, adj, cnt.astype(h.dtype), etab,
+                    w1.astype(h.dtype), b1, w2.astype(h.dtype), b2,
+                    relu_in, interpret)
             return fused_gine_layer(
                 h, adj, cnt.astype(h.dtype), etab,
                 w1.astype(h.dtype), b1, w2.astype(h.dtype), b2,
-                jax.default_backend() != "tpu")
+                interpret)
         nbr_mask = batch.nbr_mask if aug_nbr_mask is None else aug_nbr_mask
         if adj is not None:
             # tile-dense path: block-diagonal adjacency matmul on the MXU

@@ -94,6 +94,36 @@ class GNNTrunk(nn.Module):
                     _counts(batch.nbr_bond_type, w, NUM_BOND_TYPES),
                     _counts(batch.nbr_bond_dir, w, NUM_BOND_DIRS))
 
+        if self.fused and self.gnn_type == "gin" and self.drop_ratio == 0.0:
+            # BN-CHAINED fused path: each kernel applies the previous
+            # BatchNorm's affine+relu as its prologue and accumulates its
+            # own output moments (ops/fused_layer.fused_gine_bn_layer), so
+            # the [N, D] normalize pass between conv layers never touches
+            # HBM. Gated on drop_ratio == 0 (a dropout between BN and the
+            # next conv would need mask bits in the prologue); fine-tuning
+            # (drop 0.3) takes the per-layer fused path below.
+            nmask_col = batch.node_mask.astype(jnp.float32)[:, None]
+            count = nmask_col.sum()
+            d = self.emb_dim
+            a = jnp.ones((d,), jnp.float32)
+            b = jnp.zeros((d,), jnp.float32)
+            relu_in = False
+            for layer in range(self.num_layers):
+                out, sums = GINEConv(
+                    self.emb_dim, fused=True, name=f"conv_{layer}")(
+                        h, batch, adj=adj, cnt=cnt,
+                        bn_in=(a, b, relu_in), nmask_col=nmask_col)
+                a, b = MaskedBatchNorm(
+                    axis_name=self.bn_axis_name, name=f"bn_{layer}")(
+                        None, batch.node_mask, train,
+                        moments=(sums[0], sums[1], count))
+                if layer == self.num_layers - 1:
+                    y = out * a.astype(self.dtype) + b.astype(self.dtype)
+                    h = jnp.where(batch.node_mask[:, None], y, 0)
+                else:
+                    h, relu_in = out, True
+            return h
+
         for layer in range(self.num_layers):
             if self.gnn_type == "gin":
                 h = GINEConv(self.emb_dim, fused=self.fused,

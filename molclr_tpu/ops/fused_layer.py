@@ -46,6 +46,16 @@ from jax.experimental.pallas import tpu as pltpu
 CNT_PAD = 16
 
 
+def _specs(t):
+    """Per-tile block spec (leading grid dim) and full-array spec."""
+    blk = lambda *shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (i,) + (0,) * (len(shape) - 1),
+        memory_space=pltpu.VMEM)
+    full = lambda *shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    return blk, full
+
+
 def _fwd_kernel(h_ref, adj_ref, cnt_ref, etab_ref, w1_ref, b1_ref, w2_ref,
                 b2_ref, out_ref, agg_ref, mid_ref):
     a = adj_ref[0]                                     # [S, S]
@@ -193,6 +203,204 @@ def _fused_bwd(interpret, res, g):
 
 
 fused_gine_layer.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# BN-chained variant: the previous layer's BatchNorm affine + relu run as
+# this kernel's PROLOGUE (y = relu(h * a + b)), and the kernel's EPILOGUE
+# accumulates the masked first/second moments of its own output so the NEXT
+# BatchNorm's statistics never re-read the [N, D] activations from HBM.
+# The [N, D] normalize pass between conv layers disappears entirely; only
+# [D]-sized coefficient math stays in XLA (differentiable, so the full BN
+# train-mode backward — including the mean/var terms — composes from this
+# kernel's (dout, dsums) cotangents automatically).
+# ---------------------------------------------------------------------------
+
+
+def _bn_fwd_kernel(relu_in, h_ref, a_ref, b_ref, m_ref, adj_ref, cnt_ref,
+                   etab_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   out_ref, sums_ref, agg_ref, mid_ref):
+    i = pl.program_id(0)
+    pre_in = h_ref[:].astype(jnp.float32) * a_ref[0] + b_ref[0]
+    if relu_in:
+        pre_in = jnp.maximum(pre_in, 0.0)
+    xc = pre_in.astype(h_ref.dtype)
+    agg = jax.lax.dot_general(
+        adj_ref[0], xc, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    agg = agg + jax.lax.dot_general(
+        cnt_ref[:], etab_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    aggc = agg.astype(h_ref.dtype)
+    agg_ref[:] = aggc
+    pre = jax.lax.dot_general(
+        aggc, w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b1_ref[0]
+    mid = jnp.maximum(pre, 0.0).astype(h_ref.dtype)
+    mid_ref[:] = mid
+    out = jax.lax.dot_general(
+        mid, w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b2_ref[0]
+    outc = out.astype(h_ref.dtype)
+    out_ref[:] = outc
+
+    @pl.when(i == 0)
+    def _():
+        sums_ref[:] = jnp.zeros_like(sums_ref)
+
+    # moments of the CAST output (what the unfused BatchNorm sees), over
+    # real rows only
+    ob = outc.astype(jnp.float32) * m_ref[:]
+    sums_ref[0, :] += ob.sum(axis=0)
+    sums_ref[1, :] += (ob * outc.astype(jnp.float32)).sum(axis=0)
+
+
+def _bn_bwd_kernel(relu_in, g_ref, ds_ref, h_ref, a_ref, b_ref, m_ref,
+                   adj_ref, cnt_ref, agg_ref, mid_ref, out_ref, w1_ref,
+                   w2_ref, dh_ref, da_ref, db_ref, dw1_ref, db1_ref,
+                   dw2_ref, db2_ref, detab_ref):
+    i = pl.program_id(0)
+    ob = out_ref[:].astype(jnp.float32)
+    m = m_ref[:]
+    # total output cotangent: downstream grad + the moment sums' adjoint
+    gt = (g_ref[:].astype(jnp.float32)
+          + m * (ds_ref[0, :] + 2.0 * ob * ds_ref[1, :]))
+    gtc = gt.astype(g_ref.dtype)
+    mid = mid_ref[:]
+    dmid = jax.lax.dot_general(
+        gtc, w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dmid = jnp.where(mid.astype(jnp.float32) > 0.0, dmid, 0.0)
+    dmidc = dmid.astype(g_ref.dtype)
+    dagg = jax.lax.dot_general(
+        dmidc, w1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    daggc = dagg.astype(g_ref.dtype)
+    dx = jax.lax.dot_general(
+        adj_ref[0], daggc, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    hf = h_ref[:].astype(jnp.float32)
+    if relu_in:
+        dpre = jnp.where(hf * a_ref[0] + b_ref[0] > 0.0, dx, 0.0)
+    else:
+        dpre = dx
+    dh_ref[:] = (dpre * a_ref[0]).astype(g_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        da_ref[:] = jnp.zeros_like(da_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+        detab_ref[:] = jnp.zeros_like(detab_ref)
+
+    da_ref[0, :] += (dpre * hf).sum(axis=0)
+    db_ref[0, :] += dpre.sum(axis=0)
+    dw1_ref[:] += jax.lax.dot_general(
+        agg_ref[:], dmidc, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db1_ref[0, :] += dmid.sum(axis=0)
+    dw2_ref[:] += jax.lax.dot_general(
+        mid, gtc, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db2_ref[0, :] += gt.sum(axis=0)
+    detab_ref[:] += jax.lax.dot_general(
+        cnt_ref[:], daggc, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _bn_run_fwd(h, a, b, nmask, adj, cnt, etab, w1, b1, w2, b2, relu_in,
+                interpret):
+    n, d = h.shape
+    t, s, _ = adj.shape
+    d2 = w1.shape[1]
+    blk, full = _specs(t)
+    return pl.pallas_call(
+        functools.partial(_bn_fwd_kernel, relu_in),
+        grid=(t,),
+        in_specs=[blk(s, d), full(1, d), full(1, d), blk(s, 1),
+                  blk(1, s, s), blk(s, CNT_PAD), full(CNT_PAD, d),
+                  full(d, d2), full(1, d2), full(d2, d), full(1, d)],
+        out_specs=[blk(s, d), full(2, d), blk(s, d), blk(s, d2)],
+        out_shape=[jax.ShapeDtypeStruct((n, d), h.dtype),
+                   jax.ShapeDtypeStruct((2, d), jnp.float32),
+                   jax.ShapeDtypeStruct((n, d), h.dtype),
+                   jax.ShapeDtypeStruct((n, d2), h.dtype)],
+        interpret=interpret,
+    )(h, a.reshape(1, d), b.reshape(1, d), nmask, adj, cnt, etab,
+      w1, b1.reshape(1, d2), w2, b2.reshape(1, d))
+
+
+def _bn_run_bwd(g, dsums, h, a, b, nmask, adj, cnt, agg, mid, out, w1, w2,
+                relu_in, interpret):
+    n, d = g.shape
+    t, s, _ = adj.shape
+    d2 = w1.shape[1]
+    blk, full = _specs(t)
+    return pl.pallas_call(
+        functools.partial(_bn_bwd_kernel, relu_in),
+        grid=(t,),
+        in_specs=[blk(s, d), full(2, d), blk(s, d), full(1, d), full(1, d),
+                  blk(s, 1), blk(1, s, s), blk(s, CNT_PAD), blk(s, d),
+                  blk(s, d2), blk(s, d), full(d, d2), full(d2, d)],
+        out_specs=[blk(s, d), full(1, d), full(1, d), full(d, d2),
+                   full(1, d2), full(d2, d), full(1, d), full(CNT_PAD, d)],
+        out_shape=[jax.ShapeDtypeStruct((n, d), g.dtype),
+                   jax.ShapeDtypeStruct((1, d), jnp.float32),
+                   jax.ShapeDtypeStruct((1, d), jnp.float32),
+                   jax.ShapeDtypeStruct((d, d2), jnp.float32),
+                   jax.ShapeDtypeStruct((1, d2), jnp.float32),
+                   jax.ShapeDtypeStruct((d2, d), jnp.float32),
+                   jax.ShapeDtypeStruct((1, d), jnp.float32),
+                   jax.ShapeDtypeStruct((CNT_PAD, d), jnp.float32)],
+        interpret=interpret,
+    )(g, dsums, h, a.reshape(1, d), b.reshape(1, d), nmask, adj, cnt,
+      agg, mid, out, w1, w2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def fused_gine_bn_layer(h, a, b, nmask, adj, cnt, etab, w1, b1, w2, b2,
+                        relu_in: bool = False, interpret: bool = False):
+    """BN-chained fused GINE layer: prologue relu(h * a + b) (the PREVIOUS
+    BatchNorm's affine), the conv + MLP chain, and an epilogue accumulating
+    the masked (sum, sum-of-squares) moments of the output.
+
+    h     [N, D]  RAW previous conv output (bf16/f32)
+    a, b  [D]     fp32 BatchNorm coefficients (inv*scale, bias - mean*inv*
+                  scale); identity prologue = (ones, zeros, relu_in=False)
+    nmask [N, 1]  fp32 node mask (1.0 real / 0.0 padding)
+    relu_in       apply relu after the affine (True for all but the first
+                  layer, matching the reference's no-relu-on-last chain)
+
+    Returns (out [N, D], sums [2, D] fp32). Gradients flow to h, a, b,
+    etab and the MLP parameters; nmask/adj/cnt are mask-derived constants.
+    """
+    out, sums, _, _ = _bn_run_fwd(h, a, b, nmask, adj, cnt, etab, w1, b1,
+                                  w2, b2, relu_in, interpret)
+    return out, sums
+
+
+def _bn_fused_fwd(h, a, b, nmask, adj, cnt, etab, w1, b1, w2, b2, relu_in,
+                  interpret):
+    out, sums, agg, mid = _bn_run_fwd(h, a, b, nmask, adj, cnt, etab, w1,
+                                      b1, w2, b2, relu_in, interpret)
+    return (out, sums), (h, a, b, nmask, adj, cnt, agg, mid, out, w1, w2)
+
+
+def _bn_fused_bwd(relu_in, interpret, res, cts):
+    g, dsums = cts
+    h, a, b, nmask, adj, cnt, agg, mid, out, w1, w2 = res
+    dh, da, db, dw1, db1, dw2, db2, detab = _bn_run_bwd(
+        g, dsums, h, a, b, nmask, adj, cnt, agg, mid, out, w1, w2,
+        relu_in, interpret)
+    return (dh, da.reshape(-1), db.reshape(-1), None, None, None,
+            detab.astype(w1.dtype), dw1.astype(w1.dtype), db1.reshape(-1),
+            dw2.astype(w2.dtype), db2.reshape(-1))
+
+
+fused_gine_bn_layer.defvjp(_bn_fused_fwd, _bn_fused_bwd)
 
 
 def pack_cnt(cnt_t, cnt_d):

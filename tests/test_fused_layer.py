@@ -231,6 +231,29 @@ class TestModelParity:
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-4, atol=1e-5)
 
+    def test_bn_chain_batch_stats_and_eval(self, packed_batch):
+        """BN-chained fused path: running-stat updates from the kernel's
+        moment sums must match the unfused path's, and eval mode (running
+        stats -> prologue coefficients) must agree on outputs."""
+        kw = dict(num_layers=3, emb_dim=32, feat_dim=64, gnn_type="gin",
+                  tile=64)
+        m0 = MolCLRNet(**kw)
+        m1 = MolCLRNet(**kw, fused=True)
+        v = m0.init(jax.random.PRNGKey(0), packed_batch, train=False)
+        (_, z0), u0 = m0.apply(v, packed_batch, train=True,
+                               mutable=["batch_stats"])
+        (_, z1), u1 = m1.apply(v, packed_batch, train=True,
+                               mutable=["batch_stats"])
+        jax.tree_util.tree_map(
+            lambda s0, s1: np.testing.assert_allclose(
+                np.asarray(s1), np.asarray(s0), rtol=1e-5, atol=1e-6),
+            u0["batch_stats"], u1["batch_stats"])
+        v_run = {"params": v["params"], "batch_stats": u0["batch_stats"]}
+        _, e0 = m0.apply(v_run, packed_batch, train=False)
+        _, e1 = m1.apply(v_run, packed_batch, train=False)
+        np.testing.assert_allclose(np.asarray(e1), np.asarray(e0),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_fused_requires_gin_tile(self, packed_batch):
         m = MolCLRNet(num_layers=2, emb_dim=32, feat_dim=64,
                       gnn_type="gin", tile=0, fused=True)

@@ -176,7 +176,7 @@ class GINEConv(nn.Module):
 
     @nn.compact
     def __call__(self, h, batch, aug_nbr_mask=None, adj=None, cnt=None,
-                 bn_in=None, nmask_col=None):
+                 bn_in=None):
         e1 = self.param("edge_embedding1", xavier_uniform_embed,
                         (NUM_BOND_TYPES, self.emb_dim))
         e2 = self.param("edge_embedding2", xavier_uniform_embed,
@@ -201,7 +201,7 @@ class GINEConv(nn.Module):
                 # is this kernel's prologue; returns (out, moment sums)
                 a, b, relu_in = bn_in
                 return fused_gine_bn_layer(
-                    h, a, b, nmask_col, adj, cnt.astype(h.dtype), etab,
+                    h, a, b, adj, cnt.astype(h.dtype), etab,
                     w1.astype(h.dtype), b1, w2.astype(h.dtype), b2,
                     relu_in, interpret)
             return fused_gine_layer(

@@ -102,8 +102,7 @@ class GNNTrunk(nn.Module):
             # HBM. Gated on drop_ratio == 0 (a dropout between BN and the
             # next conv would need mask bits in the prologue); fine-tuning
             # (drop 0.3) takes the per-layer fused path below.
-            nmask_col = batch.node_mask.astype(jnp.float32)[:, None]
-            count = nmask_col.sum()
+            count = batch.node_mask.astype(jnp.float32).sum()
             d = self.emb_dim
             a = jnp.ones((d,), jnp.float32)
             b = jnp.zeros((d,), jnp.float32)
@@ -112,7 +111,7 @@ class GNNTrunk(nn.Module):
                 out, sums = GINEConv(
                     self.emb_dim, fused=True, name=f"conv_{layer}")(
                         h, batch, adj=adj, cnt=cnt,
-                        bn_in=(a, b, relu_in), nmask_col=nmask_col)
+                        bn_in=(a, b, relu_in))
                 a, b = MaskedBatchNorm(
                     axis_name=self.bn_axis_name, name=f"bn_{layer}")(
                         None, batch.node_mask, train,

@@ -217,7 +217,19 @@ fused_gine_layer.defvjp(_fused_fwd, _fused_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _bn_fwd_kernel(relu_in, h_ref, a_ref, b_ref, m_ref, adj_ref, cnt_ref,
+def _adj_diag_mask(adj_block, s):
+    """Node mask [S, 1] from the adjacency diagonal: real nodes always
+    carry the slot-0 self-loop (packing contract; augmentation never
+    drops it), padded rows are all-zero — so diag(A) > 0 IS node_mask.
+    Saves shipping a separate [N, 1] mask operand to the kernel."""
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (s, s), 1))
+    diag = jnp.where(eye, adj_block.astype(jnp.float32), 0.0).sum(
+        axis=1, keepdims=True)
+    return (diag > 0.0).astype(jnp.float32)
+
+
+def _bn_fwd_kernel(relu_in, h_ref, a_ref, b_ref, adj_ref, cnt_ref,
                    etab_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                    out_ref, sums_ref, agg_ref, mid_ref):
     i = pl.program_id(0)
@@ -250,18 +262,19 @@ def _bn_fwd_kernel(relu_in, h_ref, a_ref, b_ref, m_ref, adj_ref, cnt_ref,
 
     # moments of the CAST output (what the unfused BatchNorm sees), over
     # real rows only
-    ob = outc.astype(jnp.float32) * m_ref[:]
+    m = _adj_diag_mask(adj_ref[0], out.shape[0])
+    ob = outc.astype(jnp.float32) * m
     sums_ref[0, :] += ob.sum(axis=0)
     sums_ref[1, :] += (ob * outc.astype(jnp.float32)).sum(axis=0)
 
 
-def _bn_bwd_kernel(relu_in, g_ref, ds_ref, h_ref, a_ref, b_ref, m_ref,
+def _bn_bwd_kernel(relu_in, g_ref, ds_ref, h_ref, a_ref, b_ref,
                    adj_ref, cnt_ref, agg_ref, mid_ref, out_ref, w1_ref,
                    w2_ref, dh_ref, da_ref, db_ref, dw1_ref, db1_ref,
                    dw2_ref, db2_ref, detab_ref):
     i = pl.program_id(0)
     ob = out_ref[:].astype(jnp.float32)
-    m = m_ref[:]
+    m = _adj_diag_mask(adj_ref[0], ob.shape[0])
     # total output cotangent: downstream grad + the moment sums' adjoint
     gt = (g_ref[:].astype(jnp.float32)
           + m * (ds_ref[0, :] + 2.0 * ob * ds_ref[1, :]))
@@ -311,7 +324,7 @@ def _bn_bwd_kernel(relu_in, g_ref, ds_ref, h_ref, a_ref, b_ref, m_ref,
         preferred_element_type=jnp.float32)
 
 
-def _bn_run_fwd(h, a, b, nmask, adj, cnt, etab, w1, b1, w2, b2, relu_in,
+def _bn_run_fwd(h, a, b, adj, cnt, etab, w1, b1, w2, b2, relu_in,
                 interpret):
     n, d = h.shape
     t, s, _ = adj.shape
@@ -320,7 +333,7 @@ def _bn_run_fwd(h, a, b, nmask, adj, cnt, etab, w1, b1, w2, b2, relu_in,
     return pl.pallas_call(
         functools.partial(_bn_fwd_kernel, relu_in),
         grid=(t,),
-        in_specs=[blk(s, d), full(1, d), full(1, d), blk(s, 1),
+        in_specs=[blk(s, d), full(1, d), full(1, d),
                   blk(1, s, s), blk(s, CNT_PAD), full(CNT_PAD, d),
                   full(d, d2), full(1, d2), full(d2, d), full(1, d)],
         out_specs=[blk(s, d), full(2, d), blk(s, d), blk(s, d2)],
@@ -329,11 +342,11 @@ def _bn_run_fwd(h, a, b, nmask, adj, cnt, etab, w1, b1, w2, b2, relu_in,
                    jax.ShapeDtypeStruct((n, d), h.dtype),
                    jax.ShapeDtypeStruct((n, d2), h.dtype)],
         interpret=interpret,
-    )(h, a.reshape(1, d), b.reshape(1, d), nmask, adj, cnt, etab,
+    )(h, a.reshape(1, d), b.reshape(1, d), adj, cnt, etab,
       w1, b1.reshape(1, d2), w2, b2.reshape(1, d))
 
 
-def _bn_run_bwd(g, dsums, h, a, b, nmask, adj, cnt, agg, mid, out, w1, w2,
+def _bn_run_bwd(g, dsums, h, a, b, adj, cnt, agg, mid, out, w1, w2,
                 relu_in, interpret):
     n, d = g.shape
     t, s, _ = adj.shape
@@ -343,7 +356,7 @@ def _bn_run_bwd(g, dsums, h, a, b, nmask, adj, cnt, agg, mid, out, w1, w2,
         functools.partial(_bn_bwd_kernel, relu_in),
         grid=(t,),
         in_specs=[blk(s, d), full(2, d), blk(s, d), full(1, d), full(1, d),
-                  blk(s, 1), blk(1, s, s), blk(s, CNT_PAD), blk(s, d),
+                  blk(1, s, s), blk(s, CNT_PAD), blk(s, d),
                   blk(s, d2), blk(s, d), full(d, d2), full(d2, d)],
         out_specs=[blk(s, d), full(1, d), full(1, d), full(d, d2),
                    full(1, d2), full(d2, d), full(1, d), full(CNT_PAD, d)],
@@ -356,12 +369,12 @@ def _bn_run_bwd(g, dsums, h, a, b, nmask, adj, cnt, agg, mid, out, w1, w2,
                    jax.ShapeDtypeStruct((1, d), jnp.float32),
                    jax.ShapeDtypeStruct((CNT_PAD, d), jnp.float32)],
         interpret=interpret,
-    )(g, dsums, h, a.reshape(1, d), b.reshape(1, d), nmask, adj, cnt,
+    )(g, dsums, h, a.reshape(1, d), b.reshape(1, d), adj, cnt,
       agg, mid, out, w1, w2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
-def fused_gine_bn_layer(h, a, b, nmask, adj, cnt, etab, w1, b1, w2, b2,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+def fused_gine_bn_layer(h, a, b, adj, cnt, etab, w1, b1, w2, b2,
                         relu_in: bool = False, interpret: bool = False):
     """BN-chained fused GINE layer: prologue relu(h * a + b) (the PREVIOUS
     BatchNorm's affine), the conv + MLP chain, and an epilogue accumulating
@@ -370,32 +383,33 @@ def fused_gine_bn_layer(h, a, b, nmask, adj, cnt, etab, w1, b1, w2, b2,
     h     [N, D]  RAW previous conv output (bf16/f32)
     a, b  [D]     fp32 BatchNorm coefficients (inv*scale, bias - mean*inv*
                   scale); identity prologue = (ones, zeros, relu_in=False)
-    nmask [N, 1]  fp32 node mask (1.0 real / 0.0 padding)
     relu_in       apply relu after the affine (True for all but the first
                   layer, matching the reference's no-relu-on-last chain)
 
+    The node mask is derived in-kernel from the adjacency diagonal
+    (_adj_diag_mask — real nodes always carry the slot-0 self-loop).
     Returns (out [N, D], sums [2, D] fp32). Gradients flow to h, a, b,
-    etab and the MLP parameters; nmask/adj/cnt are mask-derived constants.
+    etab and the MLP parameters; adj/cnt are mask-derived constants.
     """
-    out, sums, _, _ = _bn_run_fwd(h, a, b, nmask, adj, cnt, etab, w1, b1,
+    out, sums, _, _ = _bn_run_fwd(h, a, b, adj, cnt, etab, w1, b1,
                                   w2, b2, relu_in, interpret)
     return out, sums
 
 
-def _bn_fused_fwd(h, a, b, nmask, adj, cnt, etab, w1, b1, w2, b2, relu_in,
+def _bn_fused_fwd(h, a, b, adj, cnt, etab, w1, b1, w2, b2, relu_in,
                   interpret):
-    out, sums, agg, mid = _bn_run_fwd(h, a, b, nmask, adj, cnt, etab, w1,
+    out, sums, agg, mid = _bn_run_fwd(h, a, b, adj, cnt, etab, w1,
                                       b1, w2, b2, relu_in, interpret)
-    return (out, sums), (h, a, b, nmask, adj, cnt, agg, mid, out, w1, w2)
+    return (out, sums), (h, a, b, adj, cnt, agg, mid, out, w1, w2)
 
 
 def _bn_fused_bwd(relu_in, interpret, res, cts):
     g, dsums = cts
-    h, a, b, nmask, adj, cnt, agg, mid, out, w1, w2 = res
+    h, a, b, adj, cnt, agg, mid, out, w1, w2 = res
     dh, da, db, dw1, db1, dw2, db2, detab = _bn_run_bwd(
-        g, dsums, h, a, b, nmask, adj, cnt, agg, mid, out, w1, w2,
+        g, dsums, h, a, b, adj, cnt, agg, mid, out, w1, w2,
         relu_in, interpret)
-    return (dh, da.reshape(-1), db.reshape(-1), None, None, None,
+    return (dh, da.reshape(-1), db.reshape(-1), None, None,
             detab.astype(w1.dtype), dw1.astype(w1.dtype), db1.reshape(-1),
             dw2.astype(w2.dtype), db2.reshape(-1))
 

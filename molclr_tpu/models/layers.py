@@ -249,7 +249,8 @@ class GCNConv(nn.Module):
     fused: bool = False
 
     @nn.compact
-    def __call__(self, h, batch, aug_nbr_mask=None, adj=None):
+    def __call__(self, h, batch, aug_nbr_mask=None, adj=None, cnt=None,
+                 bn_in=None):
         d = self.emb_dim
         e1 = self.param("edge_embedding1", xavier_uniform_embed,
                         (NUM_BOND_TYPES, 1))
@@ -264,6 +265,24 @@ class GCNConv(nn.Module):
             (d, d),
         )
         bias = self.param("bias", nn.initializers.zeros, (d,))
+
+        if bn_in is not None:
+            # BN-chained fused mode: the previous BatchNorm's affine (+relu)
+            # is this kernel's prologue; adj must already carry the
+            # normalization weights and cnt the norm-weighted counts
+            # (both built once by the trunk). Returns (out, moment sums).
+            assert self.fused and adj is not None and cnt is not None, \
+                "bn_in needs fused=True plus the trunk's adj + cnt"
+            from molclr_tpu.ops.fused_gcn import (
+                fused_gcn_bn_layer,
+                pack_gcn_etab,
+            )
+            a, b, relu_in = bn_in
+            return fused_gcn_bn_layer(
+                h, a, b, adj, cnt.astype(h.dtype),
+                pack_gcn_etab(e1, e2, d, h.dtype),
+                weight.astype(h.dtype), bias.astype(jnp.float32),
+                relu_in, jax.default_backend() != "tpu")
 
         nbr_mask = batch.nbr_mask if aug_nbr_mask is None else aug_nbr_mask
         x = h @ weight.astype(h.dtype)

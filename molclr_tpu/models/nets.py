@@ -16,6 +16,7 @@ Shapes/semantics pinned to the reference:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -94,24 +95,48 @@ class GNNTrunk(nn.Module):
                     _counts(batch.nbr_bond_type, w, NUM_BOND_TYPES),
                     _counts(batch.nbr_bond_dir, w, NUM_BOND_DIRS))
 
-        if self.fused and self.gnn_type == "gin" and self.drop_ratio == 0.0:
+        if self.fused and self.drop_ratio == 0.0:
             # BN-CHAINED fused path: each kernel applies the previous
             # BatchNorm's affine+relu as its prologue and accumulates its
-            # own output moments (ops/fused_layer.fused_gine_bn_layer), so
-            # the [N, D] normalize pass between conv layers never touches
-            # HBM. Gated on drop_ratio == 0 (a dropout between BN and the
-            # next conv would need mask bits in the prologue); fine-tuning
-            # (drop 0.3) takes the per-layer fused path below.
+            # own output moments (ops/fused_layer.fused_gine_bn_layer /
+            # ops/fused_gcn.fused_gcn_bn_layer), so the [N, D] normalize
+            # pass between conv layers never touches HBM. Gated on
+            # drop_ratio == 0 (a dropout between BN and the next conv would
+            # need mask bits in the prologue); fine-tuning (drop 0.3) takes
+            # the per-layer fused path below.
+            if self.gnn_type == "gcn":
+                # bake the (optional) symmetric normalization into the
+                # shared adjacency and the edge-count matrix ONCE
+                w = batch.nbr_mask.astype(self.dtype)
+                if self.normalize_gcn:
+                    deg = batch.nbr_mask.sum(axis=1).astype(self.dtype)
+                    dis = jax.lax.rsqrt(jnp.maximum(deg, 1.0))
+                    norm = jnp.take(dis, batch.nbr, axis=0) * dis[:, None]
+                    dis_b = dis.reshape(-1, self.tile)
+                    adj = adj * jax.lax.stop_gradient(
+                        dis_b[:, :, None] * dis_b[:, None, :]
+                    ).astype(adj.dtype)
+                    w = w * norm.astype(self.dtype)
+                cnt = pack_cnt(
+                    _counts(batch.nbr_bond_type, w, NUM_BOND_TYPES),
+                    _counts(batch.nbr_bond_dir, w, NUM_BOND_DIRS))
             count = batch.node_mask.astype(jnp.float32).sum()
             d = self.emb_dim
             a = jnp.ones((d,), jnp.float32)
             b = jnp.zeros((d,), jnp.float32)
             relu_in = False
             for layer in range(self.num_layers):
-                out, sums = GINEConv(
-                    self.emb_dim, fused=True, name=f"conv_{layer}")(
-                        h, batch, adj=adj, cnt=cnt,
-                        bn_in=(a, b, relu_in))
+                if self.gnn_type == "gin":
+                    out, sums = GINEConv(
+                        self.emb_dim, fused=True, name=f"conv_{layer}")(
+                            h, batch, adj=adj, cnt=cnt,
+                            bn_in=(a, b, relu_in))
+                else:
+                    out, sums = GCNConv(
+                        self.emb_dim, normalize=self.normalize_gcn,
+                        fused=True, name=f"conv_{layer}")(
+                            h, batch, adj=adj, cnt=cnt,
+                            bn_in=(a, b, relu_in))
                 a, b = MaskedBatchNorm(
                     axis_name=self.bn_axis_name, name=f"bn_{layer}")(
                         None, batch.node_mask, train,

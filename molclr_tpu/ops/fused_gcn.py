@@ -17,6 +17,14 @@ dxw = A @ g is the forward's batched matmul. dW accumulates across the
 sequential TPU grid into a full-array output block zeroed at tile 0; no
 residuals are needed (x is an autodiff input and xw is recomputed).
 
+`fused_gcn_bn_layer` is the BN-CHAINED variant (mirror of
+fused_layer.fused_gine_bn_layer): the previous BatchNorm's affine + relu
+run as the kernel's prologue, the scalar edge term and bias move INTO the
+kernel (the scalar tables ride a column-broadcast [CNT_PAD, D] operand so
+`cnt @ etab` lands on the MXU), and the epilogue accumulates the masked
+output moments — the [N, D] normalize pass between conv layers never
+touches HBM.
+
 Semantics pinned to GCNConv's unfused tile-dense path (tile_matmul of
 adj with x @ weight, reference models/gcn_molclr.py:62-91) by
 tests/test_fused_layer.py::TestGCNKernel in interpreter mode.
@@ -30,6 +38,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from molclr_tpu.ops.fused_layer import CNT_PAD, _adj_diag_mask
 
 
 def _fwd_kernel(x_ref, adj_ref, w_ref, out_ref):
@@ -120,3 +130,186 @@ def _fused_bwd(interpret, res, g):
 
 
 fused_gcn_layer.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# BN-chained variant: prologue y = relu(x * a + b) (the previous BatchNorm's
+# affine), the full GCN layer INCLUDING the scalar edge term and bias, and
+# an epilogue accumulating the masked output moments for the next BatchNorm.
+# The scalar edge tables ship as a column-broadcast [CNT_PAD, D] operand so
+# the [N, 1] edge term becomes a cnt @ etab MXU matmul; its adjoint
+# cnt^T @ g is reduced back to scalars by jnp.broadcast_to's autodiff rule
+# in the caller.
+# ---------------------------------------------------------------------------
+
+
+def _bn_fwd_kernel(relu_in, x_ref, a_ref, b_ref, adj_ref, cnt_ref, etab_ref,
+                   w_ref, bias_ref, out_ref, sums_ref):
+    i = pl.program_id(0)
+    pre_in = x_ref[:].astype(jnp.float32) * a_ref[0] + b_ref[0]
+    if relu_in:
+        pre_in = jnp.maximum(pre_in, 0.0)
+    xc = pre_in.astype(x_ref.dtype)
+    xw = jax.lax.dot_general(
+        xc, w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x_ref.dtype)
+    out = jax.lax.dot_general(
+        adj_ref[0], xw, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out = out + jax.lax.dot_general(
+        cnt_ref[:], etab_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bias_ref[0]
+    outc = out.astype(x_ref.dtype)
+    out_ref[:] = outc
+
+    @pl.when(i == 0)
+    def _():
+        sums_ref[:] = jnp.zeros_like(sums_ref)
+
+    m = _adj_diag_mask(adj_ref[0], out.shape[0])
+    ob = outc.astype(jnp.float32) * m
+    sums_ref[0, :] += ob.sum(axis=0)
+    sums_ref[1, :] += (ob * outc.astype(jnp.float32)).sum(axis=0)
+
+
+def _bn_bwd_kernel(relu_in, g_ref, ds_ref, x_ref, a_ref, b_ref, adj_ref,
+                   cnt_ref, out_ref, w_ref, dx_ref, da_ref, db_ref, dw_ref,
+                   dbias_ref, detab_ref):
+    i = pl.program_id(0)
+    ob = out_ref[:].astype(jnp.float32)
+    m = _adj_diag_mask(adj_ref[0], ob.shape[0])
+    gt = (g_ref[:].astype(jnp.float32)
+          + m * (ds_ref[0, :] + 2.0 * ob * ds_ref[1, :]))
+    gtc = gt.astype(g_ref.dtype)
+    # adjacency blocks are symmetric (norm weights dis_i*dis_j included):
+    # adjoint of A @ . is the same matmul
+    dxw = jax.lax.dot_general(
+        adj_ref[0], gtc, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(g_ref.dtype)
+    dxc = jax.lax.dot_general(
+        dxw, w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    xf = x_ref[:].astype(jnp.float32)
+    pre_in = xf * a_ref[0] + b_ref[0]
+    if relu_in:
+        dpre = jnp.where(pre_in > 0.0, dxc, 0.0)
+        xc = jnp.maximum(pre_in, 0.0).astype(x_ref.dtype)
+    else:
+        dpre = dxc
+        xc = pre_in.astype(x_ref.dtype)
+    dx_ref[:] = (dpre * a_ref[0]).astype(g_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        da_ref[:] = jnp.zeros_like(da_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+        detab_ref[:] = jnp.zeros_like(detab_ref)
+
+    da_ref[0, :] += (dpre * xf).sum(axis=0)
+    db_ref[0, :] += dpre.sum(axis=0)
+    dw_ref[:] += jax.lax.dot_general(
+        xc, dxw, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbias_ref[0, :] += gt.sum(axis=0)
+    detab_ref[:] += jax.lax.dot_general(
+        cnt_ref[:], gtc, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _bn_run_fwd(x, a, b, adj, cnt, etab, w, bias, relu_in, interpret):
+    n, d = x.shape
+    t, s, _ = adj.shape
+    blk, full = _specs(t, s, d)
+    return pl.pallas_call(
+        functools.partial(_bn_fwd_kernel, relu_in),
+        grid=(t,),
+        in_specs=[blk(s, d), full(1, d), full(1, d), blk(1, s, s),
+                  blk(s, CNT_PAD), full(CNT_PAD, d), full(d, d),
+                  full(1, d)],
+        out_specs=[blk(s, d), full(2, d)],
+        out_shape=[jax.ShapeDtypeStruct((n, d), x.dtype),
+                   jax.ShapeDtypeStruct((2, d), jnp.float32)],
+        interpret=interpret,
+    )(x, a.reshape(1, d), b.reshape(1, d), adj, cnt, etab, w,
+      bias.reshape(1, d))
+
+
+def _bn_run_bwd(g, dsums, x, a, b, adj, cnt, out, w, relu_in, interpret):
+    n, d = g.shape
+    t, s, _ = adj.shape
+    blk, full = _specs(t, s, d)
+    return pl.pallas_call(
+        functools.partial(_bn_bwd_kernel, relu_in),
+        grid=(t,),
+        in_specs=[blk(s, d), full(2, d), blk(s, d), full(1, d), full(1, d),
+                  blk(1, s, s), blk(s, CNT_PAD), blk(s, d), full(d, d)],
+        out_specs=[blk(s, d), full(1, d), full(1, d), full(d, d),
+                   full(1, d), full(CNT_PAD, d)],
+        out_shape=[jax.ShapeDtypeStruct((n, d), g.dtype),
+                   jax.ShapeDtypeStruct((1, d), jnp.float32),
+                   jax.ShapeDtypeStruct((1, d), jnp.float32),
+                   jax.ShapeDtypeStruct((d, d), jnp.float32),
+                   jax.ShapeDtypeStruct((1, d), jnp.float32),
+                   jax.ShapeDtypeStruct((CNT_PAD, d), jnp.float32)],
+        interpret=interpret,
+    )(g, dsums, x, a.reshape(1, d), b.reshape(1, d), adj, cnt, out, w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def fused_gcn_bn_layer(x, a, b, adj, cnt, etab, w, bias,
+                       relu_in: bool = False, interpret: bool = False):
+    """BN-chained fused GCN layer: prologue relu(x * a + b) (the PREVIOUS
+    BatchNorm's affine), then A @ (y @ W) + cnt @ etab + bias, plus an
+    epilogue accumulating the masked (sum, sum-of-squares) output moments.
+
+    x     [N, D]   RAW previous conv output (bf16/f32)
+    a, b  [D]      fp32 BatchNorm coefficients; identity = (ones, zeros,
+                   relu_in=False) for the first layer
+    adj   [T, S, S] block-diagonal symmetric adjacency (normalization
+                   weights dis_i * dis_j pre-baked when normalize=True)
+    cnt   [N, CNT_PAD] per-node edge count matrix (norm-weighted when
+                   normalize=True; stop_gradient upstream)
+    etab  [CNT_PAD, D] COLUMN-BROADCAST scalar edge tables (every column
+                   identical); pass jnp.broadcast_to(tab, (CNT_PAD, D)) so
+                   its autodiff rule reduces the kernel's [CNT_PAD, D]
+                   cotangent back to the scalar tables
+    w     [D, D]   the GCN weight; bias [D]
+
+    Returns (out [N, D], sums [2, D] fp32). The node mask comes from the
+    adjacency diagonal (real nodes always carry the slot-0 self-loop).
+    Gradients flow to x, a, b, etab, w and bias; adj/cnt are mask-derived
+    constants.
+    """
+    out, sums = _bn_run_fwd(x, a, b, adj, cnt, etab, w, bias, relu_in,
+                            interpret)
+    return out, sums
+
+
+def _bn_fused_fwd(x, a, b, adj, cnt, etab, w, bias, relu_in, interpret):
+    out, sums = _bn_run_fwd(x, a, b, adj, cnt, etab, w, bias, relu_in,
+                            interpret)
+    return (out, sums), (x, a, b, adj, cnt, out, w)
+
+
+def _bn_fused_bwd(relu_in, interpret, res, cts):
+    g, dsums = cts
+    x, a, b, adj, cnt, out, w = res
+    dx, da, db, dw, dbias, detab = _bn_run_bwd(
+        g, dsums, x, a, b, adj, cnt, out, w, relu_in, interpret)
+    return (dx, da.reshape(-1), db.reshape(-1), None, None,
+            detab.astype(w.dtype), dw.astype(w.dtype), dbias.reshape(-1))
+
+
+fused_gcn_bn_layer.defvjp(_bn_fused_fwd, _bn_fused_bwd)
+
+
+def pack_gcn_etab(e1, e2, d, dtype):
+    """Stack the SCALAR edge tables ([5,1] ++ [3,1] ++ zeros) and broadcast
+    across D columns -> [CNT_PAD, D]; broadcast_to's autodiff rule sums the
+    kernel's detab back onto the scalars."""
+    pad = CNT_PAD - e1.shape[0] - e2.shape[0]
+    col = jnp.concatenate(
+        [e1, e2, jnp.zeros((pad, 1), e1.dtype)], axis=0).astype(dtype)
+    return jnp.broadcast_to(col, (CNT_PAD, d))

@@ -184,6 +184,33 @@ class TestGCNKernel:
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.parametrize("normalize", [False, True])
+    def test_gcn_bn_chain_batch_stats_and_eval(self, packed_batch,
+                                               normalize):
+        """GCN BN-chained fused path (drop 0): running-stat updates from
+        the kernel's moment sums must match the unfused path's, and eval
+        mode must agree on outputs."""
+        kw = dict(num_layers=3, emb_dim=32, feat_dim=64, gnn_type="gcn",
+                  tile=64, normalize_gcn=normalize)
+        m0 = MolCLRNet(**kw)
+        m1 = MolCLRNet(**kw, fused=True)
+        v = m0.init(jax.random.PRNGKey(0), packed_batch, train=False)
+        (_, z0), u0 = m0.apply(v, packed_batch, train=True,
+                               mutable=["batch_stats"])
+        (_, z1), u1 = m1.apply(v, packed_batch, train=True,
+                               mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(z1), np.asarray(z0),
+                                   rtol=1e-4, atol=1e-5)
+        jax.tree_util.tree_map(
+            lambda s0, s1: np.testing.assert_allclose(
+                np.asarray(s1), np.asarray(s0), rtol=1e-5, atol=1e-6),
+            u0["batch_stats"], u1["batch_stats"])
+        v_run = {"params": v["params"], "batch_stats": u0["batch_stats"]}
+        _, e0 = m0.apply(v_run, packed_batch, train=False)
+        _, e1 = m1.apply(v_run, packed_batch, train=False)
+        np.testing.assert_allclose(np.asarray(e1), np.asarray(e0),
+                                   rtol=1e-4, atol=1e-5)
+
 
 @pytest.fixture(scope="module")
 def packed_batch():

@@ -231,6 +231,21 @@ def _bond_endpoints(batch):
     return batch.src[0::2], batch.dst[0::2]
 
 
+def _flag_at_ids_tile(flag, ids, valid, tile: int):
+    """flag[ids] for arbitrary node-id vectors on a tile-aligned batch
+    WITHOUT an arbitrary gather: row-gather the id's [tile] block (the
+    block table has N/tile ~ 22 rows — small-table gathers are free, like
+    the [G=512] graph-table gathers) and one-hot compare the local
+    offset. Invalid rows are routed to id 0 first (jnp.take's
+    out-of-bounds mode here is NaN-fill, not clip)."""
+    ids = jnp.where(valid, ids, 0)
+    t = flag.shape[0] // tile
+    fb = jnp.take(flag.reshape(t, tile).astype(jnp.float32),
+                  ids // tile, axis=0)                       # [B, tile]
+    oh = jax.nn.one_hot(ids % tile, tile, dtype=jnp.float32)
+    return (oh * fb).sum(axis=1) > 0.5
+
+
 def _flag_at_nbr_tile(flag, nbr, tile: int):
     """flag[nbr] for a tile-aligned batch WITHOUT an arbitrary gather.
 
@@ -528,9 +543,17 @@ def _finish_mix(batch, removed, rng_n, rng_b, node_frac: float,
     # bond deletion down to ceil(bond_keep * M) survivors
     # (ref dataset_mix.py:180,184: num_mask_edges = M_rem - ceil(0.75 M))
     bsrc, bdst = _bond_endpoints(batch)
-    rem = removed.astype(jnp.int32)  # int32 gathers (see _apply_bond_drop)
-    drop_sub = batch.bond_mask & (
-        (jnp.take(rem, bsrc) | jnp.take(rem, bdst)) > 0)
+    if tile:
+        # endpoint-removal flags WITHOUT [B]-from-node-table gathers
+        # (unlike _finish_subgraph's, this drop_sub is LIVE — it keys the
+        # bond ranking below)
+        drop_sub = batch.bond_mask & (
+            _flag_at_ids_tile(removed, bsrc, batch.bond_mask, tile)
+            | _flag_at_ids_tile(removed, bdst, batch.bond_mask, tile))
+    else:
+        rem = removed.astype(jnp.int32)  # int32 gathers (_apply_bond_drop)
+        drop_sub = batch.bond_mask & (
+            (jnp.take(rem, bsrc) | jnp.take(rem, bdst)) > 0)
     keep_cap = jnp.ceil(bond_keep * batch.graph_n_bonds).astype(jnp.int32)
     salts = _hash_salts(rng_b)
     hash_b = _mix_keys(salts, jnp.arange(batch.num_bonds, dtype=jnp.int32))

@@ -136,6 +136,16 @@ class FineTuneConfig:
                                     # (batched matmuls over the model axis
                                     # feed the MXU better than one tiny
                                     # fine-tune step).
+    batch_targets: bool = True      # multi-target tasks: when every target
+                                    # column keeps the SAME molecule rows
+                                    # (so splits/batches coincide), train
+                                    # all T columns in ONE vmapped program
+                                    # — the member axis is targets x seeds,
+                                    # only the label vector differs per
+                                    # member. Falls back to the reference's
+                                    # sequential per-target loop when row
+                                    # sets differ (missing labels) or for
+                                    # per-target motif heads.
 
 
 def _merge(dc, d: dict):

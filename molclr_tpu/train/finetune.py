@@ -124,13 +124,29 @@ class SharedTaskData:
 
 
 class FineTuner:
-    def __init__(self, cfg: FineTuneConfig, target: str | None = None):
+    def __init__(self, cfg: FineTuneConfig, target: str | None = None,
+                 targets: list[str] | None = None):
+        """One target column (reference semantics, finetune.py:495-499) or
+        — TPU-native extension — `targets`: ALL the listed columns in one
+        vmapped program. Multi-target requires every column to keep the
+        same molecule rows (checked in setup_data); the vmapped member
+        axis is targets x seeds and only the label vector differs per
+        member."""
         self.cfg = cfg
         self.task = TASKS[cfg.task_name]
-        self.target = target or self.task.targets[0]
+        if targets is not None and len(targets) > 1:
+            self.targets = list(targets)
+        else:
+            self.targets = [target or (targets[0] if targets
+                                       else self.task.targets[0])]
+        self.target = (self.targets[0] if len(self.targets) == 1
+                       else f"multi{len(self.targets)}")
+        self.n_targets = len(self.targets)
+        self.n_members = self.n_targets * cfg.n_seeds
         self.model = None            # built in setup_data (motif vocab size)
         self.motif_vocab = None
         self.normalizer: Normalizer | None = None
+        self.normalizers: list[Normalizer | None] | None = None
         self._steps_built = False
         self._pretrained_trees = None  # checkpoint loaded once per run
 
@@ -153,11 +169,29 @@ class FineTuner:
         if shared is None:
             shared = SharedTaskData(cfg, task)
         self.shared = shared
-        ids, labels = shared.select(self.target)
+        if self.n_targets > 1:
+            # one vmapped program over all target columns: rows (and
+            # therefore splits and packed batches) must coincide
+            ids, lab0 = shared.select(self.targets[0])
+            cols = [lab0]
+            for t in self.targets[1:]:
+                ids_t, lab_t = shared.select(t)
+                if list(ids_t) != list(ids):
+                    raise ValueError(
+                        f"target {t!r} keeps different rows than "
+                        f"{self.targets[0]!r}; use the sequential "
+                        f"per-target loop (cfg.batch_targets=False)")
+                cols.append(lab_t)
+            labels = np.stack(cols, axis=1)              # [n, T]
+            if cfg.task_name == "qm9":
+                labels = labels * np.array(
+                    [qm9_label_scale(t) for t in self.targets])[None, :]
+        else:
+            ids, labels = shared.select(self.targets[0])
+            if cfg.task_name == "qm9":
+                labels = labels * qm9_label_scale(self.targets[0])
         smiles = [shared.smiles[i] for i in ids]
         graphs = [shared.graphs[i] for i in ids]
-        if cfg.task_name == "qm9":
-            labels = labels * qm9_label_scale(self.target)
         self.smiles, self.labels = smiles, labels
 
         if cfg.splitting == "scaffold":
@@ -171,8 +205,16 @@ class FineTuner:
         self.split = (tr, va, te)
 
         if task.normalize_labels:
-            self.normalizer = Normalizer(labels[tr])
-            labels = self.normalizer.norm(labels)
+            if self.n_targets > 1:
+                # per-target z-scoring, exactly as T sequential runs
+                self.normalizers = [Normalizer(labels[tr, t])
+                                    for t in range(self.n_targets)]
+                labels = np.stack(
+                    [self.normalizers[t].norm(labels[:, t])
+                     for t in range(self.n_targets)], axis=1)
+            else:
+                self.normalizer = Normalizer(labels[tr])
+                labels = self.normalizer.norm(labels)
         self.train_labels = labels
 
         if cfg.use_motifs:
@@ -259,22 +301,27 @@ class FineTuner:
 
     def setup_state(self, example_batch):
         cfg = self.cfg
-        if cfg.n_seeds > 1:
-            # seed ensemble: stacked params/stats with a leading seed axis;
-            # every jitted step runs vmapped over it (one batched program
-            # instead of n_seeds sequential runs — the reference protocol's
-            # "3 independent runs" for ~one run's wall-clock)
-            # warm-started trunks are identical across seeds, so the motif
-            # vocabulary only needs encoding once; scratch trunks differ
-            # per seed and must each encode their own
+        if self.n_members > 1:
+            # member ensemble (targets x seeds): stacked params/stats with
+            # a leading member axis, m = target * n_seeds + seed; every
+            # jitted step runs vmapped over it (one batched program
+            # instead of n_members sequential runs — the reference
+            # protocol's "3 independent runs", and its one-model-per-
+            # target-column loop, for ~one run's wall-clock).
+            # Initial states are seed-determined (identical across the
+            # target axis, exactly like T sequential runs with the same
+            # config); warm-started trunks are identical across seeds, so
+            # the motif vocabulary only needs encoding once; scratch
+            # trunks differ per seed and must each encode their own
             motif_cache = {} if cfg.pretrained else None
             per_seed = [self._init_single(example_batch, cfg.seed + s,
                                           motif_cache=motif_cache)
                         for s in range(cfg.n_seeds)]
+            per_member = per_seed * self.n_targets
             params = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *[p for p, _ in per_seed])
+                lambda *xs: jnp.stack(xs), *[p for p, _ in per_member])
             stats = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *[s for _, s in per_seed])
+                lambda *xs: jnp.stack(xs), *[s for _, s in per_member])
             self.tx = two_group_adam(per_seed[0][0], cfg.init_lr,
                                      cfg.init_base_lr, cfg.weight_decay)
             opt_state = jax.vmap(self.tx.init)(params)
@@ -283,7 +330,7 @@ class FineTuner:
             self.tx = two_group_adam(params, cfg.init_lr, cfg.init_base_lr,
                                      cfg.weight_decay)
             opt_state = self.tx.init(params)
-        step0 = (jnp.zeros(cfg.n_seeds, jnp.int32) if cfg.n_seeds > 1
+        step0 = (jnp.zeros(self.n_members, jnp.int32) if self.n_members > 1
                  else 0)
         self.state = TrainState(params=params, batch_stats=stats,
                                 opt_state=opt_state, step=step0)
@@ -382,24 +429,40 @@ class FineTuner:
             return pred.astype(jnp.float32)
 
         n_seeds = self.cfg.n_seeds
-        if n_seeds > 1:
-            # seed-ensemble: one vmapped step over the leading seed axis of
-            # the state; batches are shared, rng streams are per-seed
-            step_fn = jax.vmap(train_step, in_axes=(0, None, None, None, 0))
+        n_targets, n_members = self.n_targets, self.n_members
+        if n_members > 1:
+            # member ensemble (targets x seeds): one vmapped step over the
+            # leading member axis of the state; batches are shared, rng
+            # streams are per-seed (identical along the target axis, like
+            # T sequential runs with the same config), labels are
+            # per-member when the target axis is present
+            lab_axis = 0 if n_targets > 1 else None
+            step_fn = jax.vmap(train_step,
+                               in_axes=(0, None, None, lab_axis, 0))
             pred_fn = jax.vmap(predict_step, in_axes=(0, None, None))
         else:
             step_fn, pred_fn = train_step, predict_step
 
+        def member_labels(lab):
+            """[G] (single target) -> as-is; [G, T] -> [M, G] t-major
+            (member m = t * n_seeds + s trains on target t's labels)."""
+            if n_targets > 1:
+                return jnp.repeat(lab.T, n_seeds, axis=0)
+            return lab
+
         def multi_train(state, stack, idxs, rng):
             """Scan train steps over the device-resident split stack; only
             the int32 index vector crosses the host boundary per epoch."""
-            r = jax.random.split(rng, n_seeds) if n_seeds > 1 else rng
+            if n_members > 1:
+                r = jnp.tile(jax.random.split(rng, n_seeds), (n_targets, 1))
+            else:
+                r = rng
 
             def body(s, i):
                 b, lab, mi, mm = jax.tree_util.tree_map(lambda x: x[i],
                                                         stack)
                 motifs = (mi, mm) if use_motifs else ()
-                return step_fn(s, b, motifs, lab, r)
+                return step_fn(s, b, motifs, member_labels(lab), r)
             return jax.lax.scan(body, state, idxs)
 
         def multi_predict(state, stack):
@@ -429,7 +492,8 @@ class FineTuner:
         out = []
         g = self.spec.n_graphs
         for batch, lab, idx in self.iters[split]:
-            labp = np.zeros(g, np.float32)
+            labp = (np.zeros((g, self.n_targets), np.float32)
+                    if self.n_targets > 1 else np.zeros(g, np.float32))
             if lab is not None:
                 labp[: len(lab)] = lab
             if self.cfg.use_motifs:
@@ -462,40 +526,66 @@ class FineTuner:
         return self._stacks[split]
 
     # ---- eval ----
-    def _scores(self, pred: np.ndarray) -> np.ndarray:
+    def _scores(self, pred: np.ndarray, normalizer=None) -> np.ndarray:
         if self.task.task == "classification":
             if self.cfg.score_mode == "logit1":   # quirk Q7 compatibility
                 return pred[:, 1]
             e = np.exp(pred - pred.max(axis=1, keepdims=True))
             return (e / e.sum(axis=1, keepdims=True))[:, 1]
         out = pred[:, 0]
-        if self.normalizer is not None:
-            out = self.normalizer.denorm(out)
+        if normalizer is not None:
+            out = normalizer.denorm(out)
         return out
 
-    def _metric_of(self, pred: np.ndarray, lab: np.ndarray) -> float:
-        scores = self._scores(pred)
-        if self.task.task == "regression" and self.normalizer is not None:
-            lab = self.normalizer.denorm(lab)
+    def _metric_of(self, pred: np.ndarray, lab: np.ndarray,
+                   normalizer=None) -> float:
+        scores = self._scores(pred, normalizer)
+        if self.task.task == "regression" and normalizer is not None:
+            lab = normalizer.denorm(lab)
         return METRICS[self.task.metric](lab, scores)
+
+    def _member_normalizer(self, m: int):
+        if self.n_targets > 1:
+            return (self.normalizers[m // self.cfg.n_seeds]
+                    if self.normalizers is not None else None)
+        return self.normalizer
 
     def evaluate(self, split: str, state=None) -> dict:
         state = state if state is not None else self.state
         stack = self._split_stack(split)
         preds_all, masks_all = self._multi_predict(state, stack)
-        preds_all = np.asarray(preds_all)  # [n_batches, (S,) G, out]
+        preds_all = np.asarray(preds_all)  # [n_batches, (M,) G, out]
         masks_all = np.asarray(masks_all)       # [n_batches, G]
-        labels_all = np.asarray(stack[1])       # [n_batches, G]
-        lab = labels_all[masks_all]
-        out = {"name": self.task.metric, "n": len(lab)}
-        if preds_all.ndim == 4:                 # seed ensemble
-            per_seed = [self._metric_of(preds_all[:, s][masks_all], lab)
-                        for s in range(preds_all.shape[1])]
-            out["per_seed"] = per_seed
-            out["metric"] = float(np.mean(per_seed))
-            out["std"] = float(np.std(per_seed))
+        labels_all = np.asarray(stack[1])       # [n_batches, G(, T)]
+        out = {"name": self.task.metric}
+        if preds_all.ndim == 4:                 # member ensemble
+            n_seeds = self.cfg.n_seeds
+
+            def member_lab(m):
+                if self.n_targets > 1:
+                    return labels_all[..., m // n_seeds][masks_all]
+                return labels_all[masks_all]
+            out["n"] = int(masks_all.sum())
+            per_member = [
+                self._metric_of(preds_all[:, m][masks_all], member_lab(m),
+                                self._member_normalizer(m))
+                for m in range(preds_all.shape[1])]
+            out["per_member"] = per_member
+            if self.n_targets == 1:
+                out["per_seed"] = per_member
+            else:
+                pm = np.asarray(per_member).reshape(self.n_targets, n_seeds)
+                out["per_target"] = [
+                    {"target": t, "metric": float(row.mean()),
+                     "std": float(row.std()), "per_seed": row.tolist()}
+                    for t, row in zip(self.targets, pm)]
+            out["metric"] = float(np.mean(per_member))
+            out["std"] = float(np.std(per_member))
         else:
-            out["metric"] = self._metric_of(preds_all[masks_all], lab)
+            lab = labels_all[masks_all]
+            out["n"] = len(lab)
+            out["metric"] = self._metric_of(preds_all[masks_all], lab,
+                                            self.normalizer)
         # gate on the task metric (finetune.py:228-243)
         out["loss"] = out["metric"]
         return out
@@ -512,8 +602,8 @@ class FineTuner:
                                f"{cfg.task_name}_{self.target}")
         writer = MetricWriter(run_dir, tensorboard=cfg.tensorboard)
         direction = METRIC_DIRECTION[self.task.metric]
-        n_seeds = cfg.n_seeds
-        best = np.full(n_seeds, -np.inf) if n_seeds > 1 else -np.inf
+        n_seeds, n_members = cfg.n_seeds, self.n_members
+        best = np.full(n_members, -np.inf) if n_members > 1 else -np.inf
 
         # Device-resident best state: one jitted whole-tree masked select
         # per improving epoch instead of a host readback of the (stacked)
@@ -522,16 +612,16 @@ class FineTuner:
         # train step's donation of self.state cannot invalidate them; the
         # only host transfer left in the epoch loop is the metric itself.
         def _select(mask, new, old):
-            if n_seeds > 1:
+            if n_members > 1:
                 pick = lambda n, o: jnp.where(
-                    mask.reshape((n_seeds,) + (1,) * (jnp.ndim(n) - 1)),
+                    mask.reshape((n_members,) + (1,) * (jnp.ndim(n) - 1)),
                     n, o)
             else:
                 pick = lambda n, o: jnp.where(mask, n, o)
             return jax.tree_util.tree_map(pick, new, old)
 
         select_best = jax.jit(_select)
-        all_mask = (jnp.ones(n_seeds, bool) if n_seeds > 1
+        all_mask = (jnp.ones(n_members, bool) if n_members > 1
                     else jnp.asarray(True))
         # Lazy: first gating epoch copies the whole state (mask selects
         # against the state itself), so the select program compiles once,
@@ -545,12 +635,12 @@ class FineTuner:
             self.state, loss_arr = self._multi_train(
                 self.state, train_stack,
                 jnp.asarray(order, dtype=jnp.int32), rng)
-            losses = np.asarray(loss_arr)       # [n_batches(, n_seeds)]
+            losses = np.asarray(loss_arr)       # [n_batches(, n_members)]
             val = self.evaluate("valid")
-            if n_seeds > 1:
-                # per-seed best-epoch gating, exactly as n_seeds sequential
-                # reference runs would gate independently
-                scores = direction * np.asarray(val["per_seed"])
+            if n_members > 1:
+                # per-member best-epoch gating, exactly as n_members
+                # sequential reference runs would gate independently
+                scores = direction * np.asarray(val["per_member"])
                 improved = scores > best       # NaN scores never gate
                 best = np.where(improved, scores, best)
                 if improved.any():
@@ -573,6 +663,9 @@ class FineTuner:
                       "time_s": round(time.time() - t0, 2)}
             if "std" in val:
                 record[f"valid_{val['name']}_std"] = val["std"]
+            if "per_target" in val:
+                record[f"valid_{val['name']}_per_target"] = [
+                    round(pt["metric"], 4) for pt in val["per_target"]]
             history.append(record)
             writer.record(record)
             writer.scalars(epoch, train_loss=record["train_loss"],
@@ -586,9 +679,11 @@ class FineTuner:
                            "test_per_seed": test["per_seed"]}
                           if "per_seed" in test else {})})
         writer.close()
+        members = (f"{n_seeds} seeds" if self.n_targets == 1
+                   else f"{self.n_targets} targets x {n_seeds} seeds")
         log(f"[{cfg.task_name}/{self.target}] test {test['name']} = "
             f"{test['metric']:.4f}"
-            + (f" +- {test['std']:.4f} ({n_seeds} seeds)"
+            + (f" +- {test['std']:.4f} ({members})"
                if "std" in test else ""))
         self.best_state = best_state
         out = {"target": self.target, "test_metric": test["metric"],
@@ -596,6 +691,12 @@ class FineTuner:
         if "per_seed" in test:
             out["test_std"] = test["std"]
             out["test_per_seed"] = test["per_seed"]
+        if "per_target" in test:
+            out["per_target"] = [
+                {"target": pt["target"], "test_metric": pt["metric"],
+                 "metric_name": test["name"], "test_std": pt["std"],
+                 "test_per_seed": pt["per_seed"]}
+                for pt in test["per_target"]]
         return out
 
 
@@ -603,14 +704,37 @@ def run_all_targets(cfg: FineTuneConfig, log=print) -> list[dict]:
     """Train one model per target column, as the reference does
     (finetune.py:495-506), appending results to experiments CSV. The
     featurization / scaffold / BRICS work is shared across targets via
-    one SharedTaskData (the reference redoes it per target)."""
+    one SharedTaskData (the reference redoes it per target), and when
+    every column keeps the same molecule rows (cfg.batch_targets) all
+    columns train in ONE vmapped program (member axis = targets x seeds)
+    instead of the sequential loop."""
     results = []
-    shared = SharedTaskData(cfg, TASKS[cfg.task_name])
-    for target in TASKS[cfg.task_name].targets:
+    task = TASKS[cfg.task_name]
+    shared = SharedTaskData(cfg, task)
+    if cfg.batch_targets and len(task.targets) > 1:
+        row_sets = [shared.select(t)[0] for t in task.targets]
+        if all(r == row_sets[0] for r in row_sets[1:]):
+            ft = FineTuner(cfg, targets=task.targets).setup_data(
+                shared=shared)
+            first = next(iter(ft.iters["train"]))[0]
+            ft.setup_state(first)
+            out = ft.train(log=log)
+            results = out.get("per_target") or [out]
+            _append_experiments_csv(cfg, results)
+            return results
+        log(f"[{cfg.task_name}] target columns keep different rows; "
+            f"falling back to the sequential per-target loop")
+    for target in task.targets:
         ft = FineTuner(cfg, target=target).setup_data(shared=shared)
         first = next(iter(ft.iters["train"]))[0]
         ft.setup_state(first)
         results.append(ft.train(log=log))
+    _append_experiments_csv(cfg, results)
+    return results
+
+
+def _append_experiments_csv(cfg: FineTuneConfig, results: list[dict]):
+    """Append per-target results, reference-style (finetune.py:501-506)."""
     os.makedirs("experiments", exist_ok=True)
     out = os.path.join(
         "experiments",
@@ -622,4 +746,3 @@ def run_all_targets(cfg: FineTuneConfig, log=print) -> list[dict]:
             if "test_std" in r:
                 row += f",{r['test_std']}"
             f.write(row + "\n")
-    return results

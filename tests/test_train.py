@@ -381,3 +381,118 @@ class TestSeedEnsemble:
                 lambda st: ft._predict_step(st, batch, ()))(ft.state)
             np.testing.assert_allclose(np.asarray(vp[s]), np.asarray(ps),
                                        rtol=2e-5, atol=2e-5)
+
+
+class TestBatchedTargets:
+    """cfg.batch_targets: a multi-target task trains ALL its columns in one
+    vmapped program (member axis = targets x seeds) when every column keeps
+    the same rows — semantically identical to the reference's sequential
+    one-model-per-target loop (finetune.py:495-499)."""
+
+    def _cfg(self, root, **kw):
+        base = dict(task_name="ClinTox", data_root=str(root), batch_size=16,
+                    epochs=3, model=SMALL, synthetic_n=160, seed=0,
+                    ckpt_dir=str(root / "ft"))
+        base.update(kw)
+        return FineTuneConfig(**base)
+
+    def test_vmapped_matches_sequential(self, tmp_path):
+        """drop_ratio 0 makes the steps deterministic, so the vmapped
+        multi-target run must reproduce the sequential per-target runs'
+        metrics (up to batched-GEMM numerics)."""
+        from molclr_tpu.data.tasks import TASKS
+
+        cfg = self._cfg(tmp_path)
+        seq = []
+        for t in TASKS["ClinTox"].targets:
+            ft = FineTuner(cfg, target=t).setup_data()
+            ft.setup_state(next(iter(ft.iters["train"]))[0])
+            seq.append(ft.train(log=lambda *_: None))
+
+        mt = FineTuner(cfg, targets=list(TASKS["ClinTox"].targets))
+        mt.setup_data()
+        mt.setup_state(next(iter(mt.iters["train"]))[0])
+        out = mt.train(log=lambda *_: None)
+        assert len(out["per_target"]) == 2
+        for r_seq, r_vm in zip(seq, out["per_target"]):
+            assert r_vm["target"] == r_seq["target"]
+            np.testing.assert_allclose(r_vm["test_metric"],
+                                       r_seq["test_metric"],
+                                       rtol=5e-4, atol=5e-4)
+
+    def test_member_axis_and_divergence(self, tmp_path):
+        """targets x seeds member axis: leading dim T*S; members of the
+        same seed start identical across targets and diverge by training
+        on different label columns."""
+        import jax
+
+        from molclr_tpu.data.tasks import TASKS
+
+        cfg = self._cfg(tmp_path, n_seeds=2, epochs=2)
+        mt = FineTuner(cfg, targets=list(TASKS["ClinTox"].targets))
+        mt.setup_data()
+        mt.setup_state(next(iter(mt.iters["train"]))[0])
+        leaves = jax.tree_util.tree_leaves(mt.state.params)
+        assert all(x.shape[0] == 4 for x in leaves)      # 2 targets x 2 seeds
+        head0 = np.asarray(leaves[0])
+        # m = t*S + s: same-seed members identical across targets at init
+        np.testing.assert_array_equal(head0[0], head0[2])
+        np.testing.assert_array_equal(head0[1], head0[3])
+        assert not np.array_equal(head0[0], head0[1])    # seeds differ
+        mt.train(log=lambda *_: None)
+        trained = np.asarray(jax.tree_util.tree_leaves(mt.state.params)[0])
+        assert not np.allclose(trained[0], trained[2])   # targets diverged
+
+    def test_run_all_targets_fast_path(self, tmp_path):
+        """run_all_targets takes the vmapped path (results schema and
+        experiments CSV unchanged) and falls back to the sequential loop
+        when a config opts out."""
+        import os
+
+        from molclr_tpu.train.finetune import run_all_targets
+
+        cfg = self._cfg(tmp_path, epochs=1, synthetic_n=300)
+        cwd = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            results = run_all_targets(cfg, log=lambda *_: None)
+        finally:
+            os.chdir(cwd)
+        assert len(results) == 2
+        assert {r["target"] for r in results} == {"CT_TOX", "FDA_APPROVED"}
+        for r in results:
+            assert np.isfinite(r["test_metric"])
+        csvs = list((tmp_path / "experiments").glob("*.csv"))
+        assert len(csvs) == 1
+        assert len(csvs[0].read_text().strip().splitlines()) == 2
+
+    def test_regression_per_target_normalizers(self, tmp_path, monkeypatch):
+        """Multi-target regression with z-scored labels: each member
+        denormalizes with ITS target's normalizer, matching sequential
+        per-target runs."""
+        from molclr_tpu.data import tasks as tasks_mod
+        from molclr_tpu.data.tasks import TaskSpec
+
+        spec = TaskSpec("Syn2R", "regression", "syn2r/syn2r.csv",
+                        ("prop_a", "prop_b"), "mse", "rmse",
+                        normalize_labels=True, add_hs=False)
+        monkeypatch.setitem(tasks_mod.TASKS, "Syn2R", spec)
+        import molclr_tpu.train.finetune as ftmod
+
+        monkeypatch.setitem(ftmod.TASKS, "Syn2R", spec) \
+            if ftmod.TASKS is not tasks_mod.TASKS else None
+        cfg = self._cfg(tmp_path, task_name="Syn2R", epochs=2)
+        seq = []
+        for t in spec.targets:
+            ft = FineTuner(cfg, target=t).setup_data()
+            ft.setup_state(next(iter(ft.iters["train"]))[0])
+            seq.append(ft.train(log=lambda *_: None))
+        mt = FineTuner(cfg, targets=list(spec.targets)).setup_data()
+        mt.setup_state(next(iter(mt.iters["train"]))[0])
+        out = mt.train(log=lambda *_: None)
+        # normalizers are per target and must match the sequential fits
+        assert len(mt.normalizers) == 2
+        for t_idx, r_seq in enumerate(seq):
+            np.testing.assert_allclose(
+                out["per_target"][t_idx]["test_metric"],
+                r_seq["test_metric"], rtol=5e-4, atol=5e-4)

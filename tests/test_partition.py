@@ -130,3 +130,41 @@ class TestPartitionedStep:
         assert int(new_state.step) == 1
         assert np.abs(np.asarray(
             new_state.params["feat_lin"]["kernel"]) - p0).max() > 0
+
+
+class TestFusedPartitionedStep:
+    """The fused Pallas layer kernels (interpreter mode off-TPU) compose
+    with the edge-partitioned shard_map step: per-shard pallas_call over
+    the local tiles, identical loss to the unfused partitioned step."""
+
+    def test_fused_matches_unfused_loss(self):
+        batches, _ = make_shard_batches()
+        cat = concat_shards(batches)
+        mesh = make_mesh(S, axis="part")
+        sharded_batch = shard_graph_batch(cat, mesh, "part")
+        kw = dict(gnn_type="gin", num_layers=3, emb_dim=32, feat_dim=64,
+                  tile=TILE, bn_axis_name="part")
+        model_u = MolCLRNet(**kw)
+        model_f = MolCLRNet(**kw, fused=True)
+        variables = MolCLRNet(gnn_type="gin", num_layers=3, emb_dim=32,
+                              feat_dim=64, tile=TILE).init(
+            jax.random.PRNGKey(0), cat, train=False)
+        tx = adam_torch(1e-3, 0.0)
+        # the partitioned step donates the state buffers: keep host copies
+        host_params = jax.tree_util.tree_map(np.asarray,
+                                             variables["params"])
+        host_stats = jax.tree_util.tree_map(np.asarray,
+                                            variables["batch_stats"])
+
+        losses = []
+        for m in (model_u, model_f):
+            state = TrainState(params=host_params,
+                               batch_stats=host_stats,
+                               opt_state=tx.init(host_params),
+                               step=0)
+            pstep = build_partitioned_pretrain_step(
+                m, tx, mesh, aug="none", temperature=0.1, axis="part",
+                tile=TILE)
+            _, loss = pstep(state, sharded_batch, jax.random.PRNGKey(1))
+            losses.append(float(loss))
+        np.testing.assert_allclose(losses[1], losses[0], rtol=2e-5)

@@ -20,7 +20,9 @@ def main(argv=None) -> int:
     p.add_argument("--model", choices=["gin", "gcn"], default=None)
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--steps-per-dispatch", type=int, default=None,
-                   help="train steps folded into one device dispatch")
+                   help="train steps folded into one device dispatch "
+                        "(0 = auto: 8 while streaming, the whole epoch "
+                        "once the batch cache is device-resident)")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of epoch 0's first "
                         "dispatches here")

@@ -70,7 +70,15 @@ class PretrainConfig:
     seed: int = 0
     featurize_processes: int = 2
     data_axis: str = ""             # mesh axis name for DP ('' = single chip)
-    steps_per_dispatch: int = 8     # train steps folded into one jitted scan
+    steps_per_dispatch: int = 0     # train steps folded into one jitted
+                                    # scan; 0 = AUTO: 8 while streaming
+                                    # from the host (prefetch overlap
+                                    # granularity), the WHOLE EPOCH once
+                                    # the batch cache is device-resident
+                                    # (each extra dispatch costs ~26 ms of
+                                    # relay latency; one-dispatch epochs
+                                    # measured 0.26 vs 0.56 s on the 50k
+                                    # demo)
                                     # (amortizes dispatch overhead; 1 = off)
     pack_cache_max_mols: int = 500_000  # cache packed batches across epochs
                                     # (batch order reshuffles; composition

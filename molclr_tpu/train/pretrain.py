@@ -624,7 +624,12 @@ class Pretrainer:
         rng = jax.random.PRNGKey(cfg.seed + 1)
         best_val = float("inf")
         history = []
-        s_fold = max(1, cfg.steps_per_dispatch)
+        # steps_per_dispatch == 0 -> AUTO: 8 on the host/streaming paths
+        # (prefetch overlap granularity), the whole epoch on the
+        # device-resident paths (resolved below where the epoch length is
+        # known; each extra dispatch costs ~26 ms of relay latency)
+        auto_fold = cfg.steps_per_dispatch == 0
+        s_fold = max(1, cfg.steps_per_dispatch) if not auto_fold else 8
         if cfg.data_axis:
             # DP dispatches consume device-count groups: round the fold up
             # to a mesh multiple or an under-full group would never
@@ -647,7 +652,8 @@ class Pretrainer:
                     # the SHARDED HBM cache; the only upload per dispatch is
                     # the [n_dev, S] index matrix
                     per_dev = self._dp_epoch_orders()
-                    fold = max(1, cfg.steps_per_dispatch)
+                    fold = (per_dev.shape[1] if auto_fold
+                            else max(1, cfg.steps_per_dispatch))
                     multihost = jax.process_count() > 1
                     if multihost:
                         from molclr_tpu.parallel import assemble_rows
@@ -665,8 +671,9 @@ class Pretrainer:
                     # device-resident epoch: dispatch scans over index vectors
                     # into the HBM batch cache; nothing but indices is uploaded
                     order = self.train_iter.cached_epoch_order()
-                    for lo in range(0, len(order), s_fold):
-                        idxs = jnp.asarray(order[lo : lo + s_fold],
+                    fold = len(order) if auto_fold else s_fold
+                    for lo in range(0, len(order), fold):
+                        idxs = jnp.asarray(order[lo : lo + fold],
                                            dtype=jnp.int32)
                         self.state, loss_arr = self._multi_step_resident(
                             self.state, self._device_stack, idxs, rng)

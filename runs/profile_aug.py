@@ -148,6 +148,89 @@ def main() -> int:
             tile=args.tile, bond_window=bw)
         return c + consume(vi, vj), None
 
+    # ---- mix decomposition (the slowest aug kind): cumulative stages of
+    # paired BFS removal -> _finish_mix, mirroring data/augment.py ----
+    def _mix_removed(rng):
+        k_subs, rng_ts = [], []
+        for r in jax.random.split(rng, 2):
+            rng_f, rng_s, _, _ = jax.random.split(r, 4)
+            f = jax.random.uniform(rng_f, (batch.num_graphs,), maxval=0.2)
+            k_subs.append(jnp.floor(f * batch.graph_n_nodes)
+                          .astype(jnp.int32))
+            rng_ts.append(jax.random.split(rng_s)[1])
+        return A._subgraph_removal_pair(batch, rng, rng_ts, k_subs, 32,
+                                        args.tile, 8)
+
+    def _mix_stage(rng, stage):
+        rems = _mix_removed(rng)
+        if stage == "bfs":
+            return rems
+        outs = []
+        g = batch.num_graphs
+        for v, rem in enumerate(rems):
+            rng_n, rng_b = jax.random.split(jax.random.fold_in(rng, v))
+            n_removed = jax.ops.segment_sum(rem.astype(jnp.int32),
+                                            batch.node_graph,
+                                            num_segments=g)
+            k_total = jnp.floor(0.25 * batch.graph_n_nodes).astype(jnp.int32)
+            k_extra = jnp.maximum(0, k_total - n_removed)
+            survivors = batch.node_mask & jnp.logical_not(rem)
+            key = jnp.where(rem, -1, A._rand_keys(rng_n, batch.num_nodes))
+            rank = A._node_ranks(batch, key, args.tile)
+            topup = survivors & (
+                rank < (n_removed + k_extra)[batch.node_graph])
+            masked = rem | topup
+            if stage == "topup":
+                outs.append(masked)
+                continue
+            bsrc, bdst = A._bond_endpoints(batch)
+            drop_sub = batch.bond_mask & (
+                A._flag_at_ids_tile(rem, bsrc, batch.bond_mask, args.tile)
+                | A._flag_at_ids_tile(rem, bdst, batch.bond_mask,
+                                      args.tile))
+            keep_cap = jnp.ceil(0.75 * batch.graph_n_bonds).astype(jnp.int32)
+            salts = A._hash_salts(rng_b)
+            hash_b = A._mix_keys(salts, jnp.arange(batch.num_bonds,
+                                                   dtype=jnp.int32))
+            bkey = jnp.where(drop_sub, A._INF_TIME, hash_b)
+            brank = A._bond_ranks(batch, bkey, bw)
+            if stage == "bondrank":
+                outs.append((masked, brank))
+                continue
+            is_bond = batch.nbr_bond < batch.num_bonds
+            drop_sub_slot = is_bond & (
+                rem[:, None] | A._flag_at_nbr_tile(rem, batch.nbr,
+                                                   args.tile))
+            hc, bc = A._bond_threshold(batch, bkey, brank, keep_cap)
+            key_slot = jnp.where(drop_sub_slot, A._INF_TIME,
+                                 A._mix_keys(salts, batch.nbr_bond))
+            hcn = jnp.take(hc, batch.node_graph)[:, None]
+            bcn = jnp.take(bc, batch.node_graph)[:, None]
+            keep_slot = ((key_slot < hcn)
+                         | ((key_slot == hcn) & (batch.nbr_bond <= bcn)))
+            drop_slot = drop_sub_slot | (is_bond & jnp.logical_not(keep_slot))
+            outs.append((masked, batch.nbr_mask & jnp.logical_not(drop_slot)))
+        return outs
+
+    def mix_body(stage):
+        def body(c, i):
+            out = _mix_stage(jax.random.fold_in(jax.random.PRNGKey(1), i),
+                             stage)
+            return c + consume(out), None
+        return body
+
+    def body_mix_paired(c, i):
+        vi, vj = A.paired_augment(
+            batch, jax.random.fold_in(jax.random.PRNGKey(1), i), "mix",
+            tile=args.tile, bond_window=bw)
+        return c + consume(vi, vj), None
+
+    def body_subgraph_paired(c, i):
+        vi, vj = A.paired_augment(
+            batch, jax.random.fold_in(jax.random.PRNGKey(1), i), "subgraph",
+            tile=args.tile, bond_window=bw)
+        return c + consume(vi, vj), None
+
     def marginal(body):
         @partial(jax.jit, static_argnums=1)
         def scan_fn(c0, k):
@@ -174,7 +257,13 @@ def main() -> int:
                        ("flags+edge_take", body_edge_take),
                        ("flags+nbr_take", body_nbr_take),
                        ("one_view", body_one_view),
-                       ("paired", body_paired)):
+                       ("paired", body_paired),
+                       ("mix_bfs", mix_body("bfs")),
+                       ("mix+topup", mix_body("topup")),
+                       ("mix+bondrank", mix_body("bondrank")),
+                       ("mix+ell", mix_body("ell")),
+                       ("mix_paired", body_mix_paired),
+                       ("subgraph_paired", body_subgraph_paired)):
         t = marginal(body)
         log(f"{name:18s} marginal {t*1e3:7.3f} ms/step")
     return 0

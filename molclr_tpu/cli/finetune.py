@@ -27,6 +27,10 @@ def main(argv=None) -> int:
     p.add_argument("--n-seeds", type=int, default=None,
                    help=">1 trains a vmapped seed ensemble in one step "
                         "and reports mean +- std (paper protocol)")
+    p.add_argument("--allow-synthetic", action="store_true",
+                   help="permit fabricating a synthetic stand-in CSV when "
+                        "the task CSV is missing (results are stamped "
+                        "synthetic=true)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
 
@@ -57,6 +61,8 @@ def main(argv=None) -> int:
         cfg.use_motifs = True
     if args.n_seeds is not None:
         cfg.n_seeds = args.n_seeds
+    if args.allow_synthetic:
+        cfg.synthetic_fallback = True
     if cfg.task_name not in TASKS:
         p.error(f"unknown task {cfg.task_name!r}; known: "
                 f"{', '.join(sorted(TASKS))}")

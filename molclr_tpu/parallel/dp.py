@@ -27,6 +27,24 @@ from molclr_tpu.losses import nt_xent_loss
 from molclr_tpu.train.state import TrainState
 
 
+def resolve_ntxent(impl: str, interpret: bool = False):
+    """'xla' -> closed-form losses.nt_xent_loss; 'pallas' -> the fused
+    blockwise kernel (ops/pallas_ntxent.py), the right choice at pod-
+    scale global batches, where the XLA path materializes a [2B, 2B]
+    similarity matrix (1 GiB fp32 at 2B=16384) and the kernel is 4.75x
+    faster (docs/DESIGN.md "Fused NT-Xent"). interpret=True runs the
+    kernel in Pallas interpreter mode (CPU parity tests only)."""
+    if impl == "xla":
+        return nt_xent_loss
+    if impl == "pallas":
+        import functools
+
+        from molclr_tpu.ops.pallas_ntxent import nt_xent_pallas
+
+        return functools.partial(nt_xent_pallas, interpret=interpret)
+    raise ValueError(f"unknown ntxent_impl {impl!r}")
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     devices = jax.devices()
     n = n_devices or len(devices)
@@ -41,10 +59,13 @@ def stack_batches(batches) -> object:
 
 
 def _make_local_step(model, tx, *, aug, temperature, use_cosine, axis,
-                     tile, bond_window):
+                     tile, bond_window, ntxent_impl="xla",
+                     ntxent_interpret=False):
     """Per-device train step body shared by the one-shot and the
     device-resident multi-step DP paths. `batch` is this device's LOCAL
     GraphBatch (no leading device axis); must run inside shard_map."""
+
+    ntxent = resolve_ntxent(ntxent_impl, ntxent_interpret)
 
     def local_step(state, batch, rng):
         dev = jax.lax.axis_index(axis)
@@ -62,10 +83,10 @@ def _make_local_step(model, tx, *, aug, temperature, use_cosine, axis,
                 {"params": params, "batch_stats": upd["batch_stats"]}, vj,
                 train=True, rngs={"dropout": rng_dj},
                 mutable=["batch_stats"])
-            loss = nt_xent_loss(zi.astype(jnp.float32),
-                                zj.astype(jnp.float32), temperature,
-                                use_cosine, axis_name=axis,
-                                pair_mask=batch.graph_mask)
+            loss = ntxent(zi.astype(jnp.float32),
+                          zj.astype(jnp.float32), temperature,
+                          use_cosine, axis_name=axis,
+                          pair_mask=batch.graph_mask)
             return loss, upd["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(
@@ -87,13 +108,19 @@ def _make_local_step(model, tx, *, aug, temperature, use_cosine, axis,
 def build_dp_pretrain_step(model, tx, mesh: Mesh, *, aug: str = "node",
                            temperature: float = 0.1,
                            use_cosine: bool = True, axis: str = "data",
-                           tile: int = 0, bond_window: int = 0):
+                           tile: int = 0, bond_window: int = 0,
+                           ntxent_impl: str = "xla",
+                           ntxent_interpret: bool = False):
     """Jitted data-parallel train step: (state, stacked_batch, rng) ->
     (state, loss). `stacked_batch` has a leading device axis of size
-    mesh.shape[axis]; state is replicated."""
+    mesh.shape[axis]; state is replicated. ntxent_impl='pallas' computes
+    the global-negative loss with the fused kernel (each replica runs it
+    on the all-gathered [2B_global, D] projections)."""
     step = _make_local_step(model, tx, aug=aug, temperature=temperature,
                             use_cosine=use_cosine, axis=axis, tile=tile,
-                            bond_window=bond_window)
+                            bond_window=bond_window,
+                            ntxent_impl=ntxent_impl,
+                            ntxent_interpret=ntxent_interpret)
 
     def local_step(state, stacked_batch, rng):
         batch = jax.tree_util.tree_map(lambda x: x[0], stacked_batch)
@@ -135,7 +162,9 @@ def build_dp_multi_step_resident(model, tx, mesh: Mesh, *,
                                  temperature: float = 0.1,
                                  use_cosine: bool = True,
                                  axis: str = "data", tile: int = 0,
-                                 bond_window: int = 0):
+                                 bond_window: int = 0,
+                                 ntxent_impl: str = "xla",
+                                 ntxent_interpret: bool = False):
     """Scan-folded DP dispatch over the DEVICE-RESIDENT sharded batch
     cache: (state, stack, idxs, rng) -> (state, losses[S]).
 
@@ -148,7 +177,9 @@ def build_dp_multi_step_resident(model, tx, mesh: Mesh, *,
     flagged where the DP path forfeited the resident-cache campaign."""
     step = _make_local_step(model, tx, aug=aug, temperature=temperature,
                             use_cosine=use_cosine, axis=axis, tile=tile,
-                            bond_window=bond_window)
+                            bond_window=bond_window,
+                            ntxent_impl=ntxent_impl,
+                            ntxent_interpret=ntxent_interpret)
 
     def local_multi(state, stack, idxs, rng):
         local = jax.tree_util.tree_map(lambda x: x[0], stack)  # [S_tot,...]

@@ -39,7 +39,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from molclr_tpu.data.augment import paired_augment
-from molclr_tpu.losses import nt_xent_loss
+from molclr_tpu.parallel.dp import resolve_ntxent
 from molclr_tpu.train.state import TrainState
 
 
@@ -86,7 +86,9 @@ def build_partitioned_pretrain_step(model, tx, mesh: Mesh, *,
                                     use_cosine: bool = True,
                                     axis: str = "part", tile: int = 0,
                                     bond_window: int = 0,
-                                    return_grads: bool = False):
+                                    return_grads: bool = False,
+                                    ntxent_impl: str = "xla",
+                                    ntxent_interpret: bool = False):
     """Jitted node-partitioned train step: (state, sharded_batch, rng) ->
     (state, loss). `sharded_batch` is one concat_shards GraphBatch placed
     by shard_graph_batch; state is replicated. The model must be built
@@ -98,6 +100,7 @@ def build_partitioned_pretrain_step(model, tx, mesh: Mesh, *,
         raise ValueError("partitioned training requires tile-aligned "
                          "packing (PadSpec.tile > 0) — the tile contract "
                          "is what makes aggregation collective-free")
+    ntxent = resolve_ntxent(ntxent_impl, ntxent_interpret)
 
     def local_step(state, batch, rng):
         batch = localize_shard(batch, axis)
@@ -119,10 +122,10 @@ def build_partitioned_pretrain_step(model, tx, mesh: Mesh, *,
                 {"params": params, "batch_stats": upd["batch_stats"]}, vj,
                 train=True, rngs={"dropout": rng_dj},
                 mutable=["batch_stats"])
-            loss = nt_xent_loss(zi.astype(jnp.float32),
-                                zj.astype(jnp.float32), temperature,
-                                use_cosine, axis_name=axis,
-                                pair_mask=batch.graph_mask)
+            loss = ntxent(zi.astype(jnp.float32),
+                          zj.astype(jnp.float32), temperature,
+                          use_cosine, axis_name=axis,
+                          pair_mask=batch.graph_mask)
             return loss, upd["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(

@@ -126,6 +126,13 @@ class FineTuneConfig:
     seed: int = 0
     ckpt_dir: str = "runs/finetune"
     synthetic_n: int = 2000         # rows when auto-generating missing CSVs
+    synthetic_fallback: bool = False  # opt-in: fabricate a synthetic CSV
+                                    # when the task CSV is absent. Off by
+                                    # default so a typo'd data_root fails
+                                    # loudly instead of training (and
+                                    # reporting!) on fabricated data; when
+                                    # on, rows in the experiments CSV are
+                                    # stamped synthetic=true.
     repack_each_epoch: bool = True  # re-shuffle batch COMPOSITIONS per epoch
                                     # (reference DataLoader semantics;
                                     # fine-tuning has no on-device
@@ -152,8 +159,10 @@ class FineTuneConfig:
                                     # only the label vector differs per
                                     # member. Falls back to the reference's
                                     # sequential per-target loop when row
-                                    # sets differ (missing labels) or for
-                                    # per-target motif heads.
+                                    # sets differ (missing labels). Motif
+                                    # runs take the vmapped path too:
+                                    # coinciding rows imply an identical
+                                    # motif vocab across targets.
 
 
 def _merge(dc, d: dict):

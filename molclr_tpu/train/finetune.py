@@ -52,15 +52,33 @@ from molclr_tpu.train.optim import two_group_adam
 from molclr_tpu.train.state import TrainState
 
 
-def resolve_task_csv(cfg: FineTuneConfig, spec: TaskSpec) -> str:
-    """Locate the task CSV under data_root; synthesize a learnable synthetic
-    stand-in when absent (no MoleculeNet data ships in this environment)."""
+def resolve_task_csv(cfg: FineTuneConfig, spec: TaskSpec) -> tuple[str, bool]:
+    """Locate the task CSV under data_root. When absent, either raise
+    (default) or — iff cfg.synthetic_fallback — fabricate a learnable
+    synthetic stand-in with a loud warning. Returns (path, synthetic):
+    callers must propagate synthetic=True into any reported results so
+    fabricated-data runs are never mistaken for MoleculeNet numbers."""
     path = os.path.join(cfg.data_root, spec.data_path)
     if not os.path.exists(path):
+        if not cfg.synthetic_fallback:
+            raise FileNotFoundError(
+                f"task CSV not found: {path!r} (task {spec.name!r}, "
+                f"data_root {cfg.data_root!r}). Place the MoleculeNet CSV "
+                f"there, or pass --allow-synthetic / set "
+                f"cfg.synthetic_fallback=True to train on a fabricated "
+                f"synthetic stand-in (results will be stamped "
+                f"synthetic=true).")
+        import warnings
+
         from molclr_tpu.data.synthetic import write_task_csv
 
+        warnings.warn(
+            f"task CSV {path!r} missing; fabricating a SYNTHETIC stand-in "
+            f"({cfg.synthetic_n} rows). Metrics from this run do NOT "
+            f"reflect the real {spec.name} task.", stacklevel=2)
         write_task_csv(path, spec, n=cfg.synthetic_n, seed=cfg.seed)
-    return path
+        return path, True
+    return path, False
 
 
 class SharedTaskData:
@@ -77,7 +95,7 @@ class SharedTaskData:
         import csv as _csv
 
         self.cfg, self.task = cfg, task
-        csv_path = resolve_task_csv(cfg, task)
+        csv_path, self.synthetic = resolve_task_csv(cfg, task)
         smiles_rows: list[str] = []
         raw: dict[str, list] = {t: [] for t in task.targets}
         with open(csv_path, newline="") as f:
@@ -580,7 +598,15 @@ class FineTuner:
                      "std": float(row.std()), "per_seed": row.tolist()}
                     for t, row in zip(self.targets, pm)]
             out["metric"] = float(np.mean(per_member))
-            out["std"] = float(np.std(per_member))
+            # top-level std keeps the reference's meaning (over-seeds):
+            # for multi-target runs it is the MEAN of the per-target
+            # over-seeds stds, not a flat std over targets x seeds members
+            # (which would conflate inter-target spread with seed noise)
+            if self.n_targets > 1:
+                out["std"] = float(np.mean([pt["std"]
+                                            for pt in out["per_target"]]))
+            else:
+                out["std"] = float(np.std(per_member))
         else:
             lab = labels_all[masks_all]
             out["n"] = len(lab)
@@ -686,16 +712,23 @@ class FineTuner:
             + (f" +- {test['std']:.4f} ({members})"
                if "std" in test else ""))
         self.best_state = best_state
+        synthetic = bool(getattr(self.shared, "synthetic", False))
         out = {"target": self.target, "test_metric": test["metric"],
-               "metric_name": test["name"], "history": history}
+               "metric_name": test["name"], "history": history,
+               "synthetic": synthetic}
         if "per_seed" in test:
             out["test_std"] = test["std"]
             out["test_per_seed"] = test["per_seed"]
         if "per_target" in test:
+            # test_std only when an actual seed ensemble exists — keeps the
+            # experiments CSV schema identical to the sequential path and
+            # the reference format when n_seeds == 1 (ADVICE r3)
             out["per_target"] = [
                 {"target": pt["target"], "test_metric": pt["metric"],
-                 "metric_name": test["name"], "test_std": pt["std"],
-                 "test_per_seed": pt["per_seed"]}
+                 "metric_name": test["name"], "synthetic": synthetic,
+                 **({"test_std": pt["std"],
+                     "test_per_seed": pt["per_seed"]}
+                    if n_seeds > 1 else {})}
                 for pt in test["per_target"]]
         return out
 
@@ -745,4 +778,6 @@ def _append_experiments_csv(cfg: FineTuneConfig, results: list[dict]):
             row = f"{r['target']},{r['test_metric']}"
             if "test_std" in r:
                 row += f",{r['test_std']}"
+            if r.get("synthetic"):
+                row += ",synthetic=true"
             f.write(row + "\n")

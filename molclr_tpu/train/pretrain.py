@@ -313,14 +313,16 @@ class Pretrainer:
                 model, self.tx, self.mesh, aug=cfg.aug,
                 temperature=cfg.temperature,
                 use_cosine=cfg.use_cosine_similarity, axis=cfg.data_axis,
-                tile=cfg.model.tile, bond_window=bond_window)
+                tile=cfg.model.tile, bond_window=bond_window,
+                ntxent_impl=cfg.ntxent_impl)
             from molclr_tpu.parallel import build_dp_multi_step_resident
 
             self._dp_multi_resident = build_dp_multi_step_resident(
                 model, self.tx, self.mesh, aug=cfg.aug,
                 temperature=cfg.temperature,
                 use_cosine=cfg.use_cosine_similarity, axis=cfg.data_axis,
-                tile=cfg.model.tile, bond_window=bond_window)
+                tile=cfg.model.tile, bond_window=bond_window,
+                ntxent_impl=cfg.ntxent_impl)
             self._train_step = None
             self._multi_step = None
         else:

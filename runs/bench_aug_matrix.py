@@ -1,6 +1,7 @@
-"""One-attach multi-config bench: GIN node/subgraph/mix + GCN node,
-all in a single TPU process (relay lease makes per-config processes
-pay ~10 min attach each). Mirrors bench.py methodology exactly."""
+"""One-attach multi-config bench: GCN node + GIN subgraph/mix (GIN node
+is bench.py's own headline config), all in a single TPU process (relay
+lease makes per-config processes pay ~10 min attach each). Mirrors
+bench.py methodology exactly."""
 import json
 import sys
 import time

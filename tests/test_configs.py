@@ -30,7 +30,7 @@ class TestGcnMultiTask:
         monkeypatch.chdir(tmp_path)
         cfg = FineTuneConfig(task_name="Tox21", data_root=str(tmp_path),
                              batch_size=32, epochs=2, model=SMALL_GCN,
-                             synthetic_n=250, seed=0,
+                             synthetic_n=250, synthetic_fallback=True, seed=0,
                              ckpt_dir=str(tmp_path / "ft"))
         results = []
         for target in ("NR-AR", "NR-AhR"):
@@ -46,7 +46,7 @@ class TestGcnMultiTask:
         """normalize_gcn=True (quirk-Q2 fixed mode) trains too."""
         cfg = FineTuneConfig(
             task_name="BBBP", data_root=str(tmp_path), batch_size=32,
-            epochs=2, synthetic_n=200, seed=0,
+            epochs=2, synthetic_n=200, synthetic_fallback=True, seed=0,
             model=ModelConfig(gnn_type="gcn", num_layers=2, emb_dim=64,
                               feat_dim=128, normalize_gcn=True),
             ckpt_dir=str(tmp_path / "ft"))

@@ -44,7 +44,7 @@ class TestMotifFineTune:
     def test_e2e_learns(self, tmp_path):
         cfg = FineTuneConfig(
             task_name="BBBP", data_root=str(tmp_path), batch_size=32,
-            epochs=5, synthetic_n=400, seed=0, use_motifs=True,
+            epochs=5, synthetic_n=400, synthetic_fallback=True, seed=0, use_motifs=True,
             max_motifs_per_mol=8,
             model=ModelConfig(gnn_type="gin", num_layers=2, emb_dim=64,
                               feat_dim=128),

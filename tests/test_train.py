@@ -19,7 +19,7 @@ def finetune_run(tmp_path_factory):
     root = tmp_path_factory.mktemp("data")
     cfg = FineTuneConfig(task_name="BBBP", data_root=str(root),
                          batch_size=32, epochs=6, model=SMALL,
-                         synthetic_n=600, seed=0,
+                         synthetic_n=600, synthetic_fallback=True, seed=0,
                          ckpt_dir=str(root / "ft"))
     ft = FineTuner(cfg).setup_data()
     first = next(iter(ft.iters["train"]))[0]
@@ -65,7 +65,7 @@ class TestPretrain:
         denormalized predictions (ref finetune.py:136-142,286-287)."""
         cfg = FineTuneConfig(task_name="qm7", data_root=str(tmp_path),
                              batch_size=32, epochs=6, model=SMALL,
-                             synthetic_n=300, seed=0,
+                             synthetic_n=300, synthetic_fallback=True, seed=0,
                              ckpt_dir=str(tmp_path / "ft"))
         ft = FineTuner(cfg).setup_data()
         assert ft.normalizer is not None
@@ -82,7 +82,7 @@ class TestPretrain:
     def test_regression_task(self, tmp_path):
         cfg = FineTuneConfig(task_name="FreeSolv", data_root=str(tmp_path),
                              batch_size=32, epochs=8, model=SMALL,
-                             synthetic_n=400, seed=0,
+                             synthetic_n=400, synthetic_fallback=True, seed=0,
                              ckpt_dir=str(tmp_path / "ft"))
         ft = FineTuner(cfg).setup_data()
         first = next(iter(ft.iters["train"]))[0]
@@ -102,7 +102,7 @@ class TestPretrain:
         the across-seed mean ± std in original label units."""
         cfg = FineTuneConfig(task_name="qm7", data_root=str(tmp_path),
                              batch_size=32, epochs=4, model=SMALL,
-                             synthetic_n=250, seed=0, n_seeds=2,
+                             synthetic_n=250, synthetic_fallback=True, seed=0, n_seeds=2,
                              ckpt_dir=str(tmp_path / "ft"))
         ft = FineTuner(cfg).setup_data()
         first = next(iter(ft.iters["train"]))[0]
@@ -251,7 +251,7 @@ class TestSharedTaskData:
 
         cfg = FineTuneConfig(task_name="ClinTox", data_root=str(tmp_path),
                              batch_size=16, epochs=1, model=SMALL,
-                             synthetic_n=150, seed=0, use_motifs=True,
+                             synthetic_n=150, synthetic_fallback=True, seed=0, use_motifs=True,
                              ckpt_dir=str(tmp_path / "ft"))
         shared = SharedTaskData(cfg, TASKS["ClinTox"])
         for target in TASKS["ClinTox"].targets:
@@ -303,7 +303,7 @@ class TestSharedTaskData:
         monkeypatch.setattr(ftmod, "featurize_many", counting)
         cfg = FineTuneConfig(task_name="ClinTox", data_root=str(tmp_path),
                              batch_size=16, epochs=1, model=SMALL,
-                             synthetic_n=120, seed=0,
+                             synthetic_n=120, synthetic_fallback=True, seed=0,
                              ckpt_dir=str(tmp_path / "ft"))
         from molclr_tpu.train.finetune import run_all_targets
 
@@ -322,7 +322,7 @@ class TestSeedEnsemble:
         root = tmp_path_factory.mktemp("data")
         cfg = FineTuneConfig(task_name="BBBP", data_root=str(root),
                              batch_size=32, epochs=4, model=SMALL,
-                             synthetic_n=400, seed=0, n_seeds=3,
+                             synthetic_n=400, synthetic_fallback=True, seed=0, n_seeds=3,
                              ckpt_dir=str(root / "ft"))
         ft = FineTuner(cfg).setup_data()
         first = next(iter(ft.iters["train"]))[0]
@@ -391,7 +391,7 @@ class TestBatchedTargets:
 
     def _cfg(self, root, **kw):
         base = dict(task_name="ClinTox", data_root=str(root), batch_size=16,
-                    epochs=3, model=SMALL, synthetic_n=160, seed=0,
+                    epochs=3, model=SMALL, synthetic_n=160, synthetic_fallback=True, seed=0,
                     ckpt_dir=str(root / "ft"))
         base.update(kw)
         return FineTuneConfig(**base)
@@ -451,7 +451,7 @@ class TestBatchedTargets:
 
         from molclr_tpu.train.finetune import run_all_targets
 
-        cfg = self._cfg(tmp_path, epochs=1, synthetic_n=300)
+        cfg = self._cfg(tmp_path, epochs=1, synthetic_n=300, synthetic_fallback=True)
         cwd = os.getcwd()
         os.chdir(tmp_path)
         try:
@@ -496,3 +496,42 @@ class TestBatchedTargets:
             np.testing.assert_allclose(
                 out["per_target"][t_idx]["test_metric"],
                 r_seq["test_metric"], rtol=5e-4, atol=5e-4)
+
+
+class TestSyntheticFallbackGuard:
+    """resolve_task_csv must refuse to fabricate data unless opted in
+    (VERDICT r3 weak #4), and stamp synthetic=true when it does."""
+
+    def test_missing_csv_raises_without_flag(self, tmp_path):
+        from molclr_tpu.data.tasks import TASKS
+        from molclr_tpu.train.finetune import resolve_task_csv
+
+        cfg = FineTuneConfig(task_name="BBBP", data_root=str(tmp_path))
+        with pytest.raises(FileNotFoundError, match="allow-synthetic"):
+            resolve_task_csv(cfg, TASKS["BBBP"])
+
+    def test_fallback_warns_and_flags(self, tmp_path):
+        from molclr_tpu.data.tasks import TASKS
+        from molclr_tpu.train.finetune import resolve_task_csv
+
+        cfg = FineTuneConfig(task_name="BBBP", data_root=str(tmp_path),
+                             synthetic_n=50, synthetic_fallback=True)
+        with pytest.warns(UserWarning, match="SYNTHETIC"):
+            path, synthetic = resolve_task_csv(cfg, TASKS["BBBP"])
+        assert synthetic and path.endswith(".csv")
+        # present CSV: no warning, synthetic=False
+        path2, synthetic2 = resolve_task_csv(cfg, TASKS["BBBP"])
+        assert path2 == path and not synthetic2
+
+    def test_experiments_csv_stamped(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        from molclr_tpu.train.finetune import _append_experiments_csv
+
+        cfg = FineTuneConfig(task_name="BBBP", pretrained="")
+        _append_experiments_csv(cfg, [
+            {"target": "p_np", "test_metric": 0.9, "synthetic": True},
+            {"target": "p_np", "test_metric": 0.8, "synthetic": False}])
+        rows = (tmp_path / "experiments" /
+                "scratch_BBBP_finetune.csv").read_text().splitlines()
+        assert rows[0].endswith(",synthetic=true")
+        assert "synthetic" not in rows[1]

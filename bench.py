@@ -1,4 +1,4 @@
-"""Benchmark: GIN contrastive-pretrain step throughput on one chip.
+"""Benchmark: contrastive-pretrain step throughput on one chip.
 
 Measures the full training step — on-device paired augmentation, two encoder
 forward+backward passes, NT-Xent, Adam — on a realistic synthetic
@@ -13,7 +13,11 @@ block_until_ready returns before completion on the axon PJRT relay, and
 per-dispatch overhead is large and variable, so the honest number is the
 MARGINAL step time between two scan lengths: (t_K2 - t_K1) / (K2 - K1).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
+headline GIN/node config, plus a "matrix" field covering the other hot
+paths (GCN/node, GIN/subgraph, GIN/mix) measured in the SAME process —
+one TPU attach, per the relay-lease rules — so driver artifacts track
+every claimed number, not just the headline (VERDICT r3 weak #3).
 vs_baseline compares against bench_baseline.json (committed after the first
 TPU run); the reference publishes no throughput numbers (SURVEY §6.1).
 Diagnostics go to stderr; stdout carries only the JSON line.
@@ -58,6 +62,10 @@ def main() -> int:
                         "(ops/fused_layer.py) instead of XLA op chains; "
                         "auto = on for gin+tile on a real TPU (the fast "
                         "path: 2.20 vs 2.77 ms step on v5e)")
+    p.add_argument("--no-matrix", action="store_true",
+                   help="skip the GCN/subgraph/mix matrix (headline only)")
+    p.add_argument("--matrix-reps", type=int, default=3,
+                   help="timing reps for the non-headline matrix configs")
     args = p.parse_args()
 
     import jax
@@ -72,10 +80,11 @@ def main() -> int:
 
     from molclr_tpu.data import featurize_smiles, pack_batch
     from molclr_tpu.data.augment import paired_augment
+    from molclr_tpu.data.graphs import PackOverflow, concat_views
     from molclr_tpu.data.loader import spec_for_graphs
     from molclr_tpu.data.synthetic import synthetic_corpus
     from molclr_tpu.losses import nt_xent_loss
-    from molclr_tpu.models import MolCLRNet
+    from molclr_tpu.models import MolCLRNet, resolve_fused
     from molclr_tpu.train.optim import adam_torch
     from molclr_tpu.train.state import TrainState
 
@@ -86,7 +95,6 @@ def main() -> int:
     smiles = synthetic_corpus(b, seed=7)
     graphs = [g for g in (featurize_smiles(s) for s in smiles)
               if g is not None and g.max_degree <= 6][:b]
-    from molclr_tpu.data.graphs import PackOverflow
 
     spec = spec_for_graphs(graphs, len(graphs), slack=1.05, tile=args.tile)
     try:
@@ -104,88 +112,100 @@ def main() -> int:
     log(f"batch: {len(graphs)} mols, {n_nodes} atoms, {n_edges} directed "
         f"edges; padded {spec}")
 
-    from molclr_tpu.models import resolve_fused
+    def measure(gnn: str, aug: str, k1: int, k2: int, reps: int) -> dict:
+        """Build the (gnn, aug) train step and time it with the marginal-
+        scan method; returns {step_ms, edges_per_s}."""
+        fused = resolve_fused({"auto": None, "on": True, "off": False}
+                              [args.fused], gnn, args.tile)
+        log(f"[{gnn}/{aug}] fused Pallas layers: {fused}")
+        model = MolCLRNet(
+            num_layers=args.layers, emb_dim=args.emb_dim, gnn_type=gnn,
+            dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
+            tile=args.tile, fused=fused)
+        variables = jax.device_put(
+            model.init(jax.random.PRNGKey(0), batch, train=False))
+        tx = adam_torch(5e-4, 1e-5)
+        state = TrainState(params=variables["params"],
+                           batch_stats=variables.get("batch_stats", {}),
+                           opt_state=tx.init(variables["params"]), step=0)
 
-    fused = resolve_fused({"auto": None, "on": True, "off": False}
-                          [args.fused], args.gnn, args.tile)
-    log(f"fused Pallas layers: {fused}")
-    model = MolCLRNet(
-        num_layers=args.layers, emb_dim=args.emb_dim, gnn_type=args.gnn,
-        dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
-        tile=args.tile, fused=fused)
-    variables = jax.device_put(
-        model.init(jax.random.PRNGKey(0), batch, train=False))
-    tx = adam_torch(5e-4, 1e-5)
-    state = TrainState(params=variables["params"],
-                       batch_stats=variables.get("batch_stats", {}),
-                       opt_state=tx.init(variables["params"]), step=0)
+        def loss_fn(params, batch_stats, rng):
+            ra, ri, rj = jax.random.split(rng, 3)
+            vi, vj = paired_augment(batch, ra, aug, tile=args.tile,
+                                    bond_window=spec.max_graph_bonds,
+                                    bfs_stride=args.bfs_stride)
+            if args.concat:
+                both = concat_views(vi, vj)
+                (_, z), upd = model.apply(
+                    {"params": params, "batch_stats": batch_stats}, both,
+                    train=True, rngs={"dropout": ri},
+                    mutable=["batch_stats"])
+                zi, zj = z[: batch.num_graphs], z[batch.num_graphs :]
+            else:
+                # sequential two-pass over the views: on v5e this keeps the
+                # feature table cache-resident vs the concatenated forward
+                (_, zi), upd = model.apply(
+                    {"params": params, "batch_stats": batch_stats}, vi,
+                    train=True, rngs={"dropout": ri},
+                    mutable=["batch_stats"])
+                (_, zj), upd = model.apply(
+                    {"params": params, "batch_stats": upd["batch_stats"]},
+                    vj, train=True, rngs={"dropout": rj},
+                    mutable=["batch_stats"])
+            return nt_xent_loss(zi.astype(jnp.float32),
+                                zj.astype(jnp.float32),
+                                0.1, pair_mask=batch.graph_mask), \
+                upd["batch_stats"]
 
-    from molclr_tpu.data.graphs import concat_views
+        def one_step(state, rng):
+            (loss, stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, state.batch_stats, rng)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                            state.params, updates)
+            return TrainState(params=params, batch_stats=stats,
+                              opt_state=opt_state, step=state.step + 1), \
+                loss
 
-    def loss_fn(params, batch_stats, rng):
-        ra, ri, rj = jax.random.split(rng, 3)
-        vi, vj = paired_augment(batch, ra, args.aug, tile=args.tile,
-                                bond_window=spec.max_graph_bonds,
-                                bfs_stride=args.bfs_stride)
-        if args.concat:
-            both = concat_views(vi, vj)
-            (_, z), upd = model.apply(
-                {"params": params, "batch_stats": batch_stats}, both,
-                train=True, rngs={"dropout": ri}, mutable=["batch_stats"])
-            zi, zj = z[: batch.num_graphs], z[batch.num_graphs :]
-        else:
-            # sequential two-pass over the views: on v5e this keeps the
-            # feature table cache-resident vs the concatenated forward
-            (_, zi), upd = model.apply(
-                {"params": params, "batch_stats": batch_stats}, vi,
-                train=True, rngs={"dropout": ri}, mutable=["batch_stats"])
-            (_, zj), upd = model.apply(
-                {"params": params, "batch_stats": upd["batch_stats"]}, vj,
-                train=True, rngs={"dropout": rj}, mutable=["batch_stats"])
-        return nt_xent_loss(zi.astype(jnp.float32), zj.astype(jnp.float32),
-                            0.1, pair_mask=batch.graph_mask), \
-            upd["batch_stats"]
+        @partial(jax.jit, static_argnums=2)
+        def multi_step(state, rng, k):
+            def body(s, i):
+                return one_step(s, jax.random.fold_in(rng, i))
+            return jax.lax.scan(body, state, jnp.arange(k, dtype=jnp.int32))
 
-    def one_step(state, rng):
-        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, rng)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params,
-                                        updates)
-        return TrainState(params=params, batch_stats=stats,
-                          opt_state=opt_state, step=state.step + 1), loss
+        rng = jax.random.PRNGKey(1)
+        meds = {}
+        for k in (k1, k2):
+            t0 = time.time()
+            state, losses = multi_step(state, rng, k)
+            lh = np.asarray(losses)  # readback = real completion barrier
+            log(f"[{gnn}/{aug}] K={k}: compile+run {time.time() - t0:.1f}s, "
+                f"loss {lh[0]:.3f}->{lh[-1]:.3f}")
+            ts = []
+            for i in range(reps):
+                t0 = time.perf_counter()
+                state, losses = multi_step(state,
+                                           jax.random.fold_in(rng, i), k)
+                _ = np.asarray(losses)
+                ts.append(time.perf_counter() - t0)
+            meds[k] = float(np.median(ts))
+            log(f"[{gnn}/{aug}] K={k}: median dispatch {meds[k]*1e3:.1f} ms")
 
-    @partial(jax.jit, static_argnums=2)
-    def multi_step(state, rng, k):
-        def body(s, i):
-            return one_step(s, jax.random.fold_in(rng, i))
-        return jax.lax.scan(body, state, jnp.arange(k, dtype=jnp.int32))
+        step_time = (meds[k2] - meds[k1]) / (k2 - k1)
+        if step_time <= 0:
+            log("WARNING: non-positive marginal time; falling back to "
+                "K2 mean")
+            step_time = meds[k2] / k2
+        edges_per_step = 2 * args.layers * msg_edges
+        value = edges_per_step / step_time
+        log(f"[{gnn}/{aug}] marginal step {step_time*1e3:.3f} ms -> "
+            f"{value/1e6:.1f}M msg-edges/s")
+        return {"step_ms": round(step_time * 1e3, 3),
+                "edges_per_s": round(value, 1)}
 
-    rng = jax.random.PRNGKey(1)
-    meds = {}
-    for k in (args.k1, args.k2):
-        t0 = time.time()
-        state, losses = multi_step(state, rng, k)
-        lh = np.asarray(losses)  # readback = real completion barrier
-        log(f"K={k}: compile+run {time.time() - t0:.1f}s, "
-            f"loss {lh[0]:.3f}->{lh[-1]:.3f}")
-        ts = []
-        for i in range(args.reps):
-            t0 = time.perf_counter()
-            state, losses = multi_step(state, jax.random.fold_in(rng, i), k)
-            _ = np.asarray(losses)
-            ts.append(time.perf_counter() - t0)
-        meds[k] = float(np.median(ts))
-        log(f"K={k}: median dispatch {meds[k]*1e3:.1f} ms")
-
-    step_time = (meds[args.k2] - meds[args.k1]) / (args.k2 - args.k1)
-    if step_time <= 0:
-        log("WARNING: non-positive marginal time; falling back to K2 mean")
-        step_time = meds[args.k2] / args.k2
-    edges_per_step = 2 * args.layers * msg_edges
-    value = edges_per_step / step_time
-    log(f"marginal step {step_time*1e3:.3f} ms -> {value/1e6:.1f}M "
-        f"msg-edges/s")
+    head = measure(args.gnn, args.aug, args.k1, args.k2, args.reps)
+    value = head["edges_per_s"]
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
@@ -204,13 +224,31 @@ def main() -> int:
             pass
     vs = value / baselines[key]
 
-    print(json.dumps({
+    out = {
         "metric": f"edges/sec/chip ({args.gnn.upper()}-{args.layers}L "
                   f"pretrain fwd+bwd, {args.dtype}, B={len(graphs)})",
         "value": round(value, 1),
         "unit": "edges/s",
         "vs_baseline": round(vs, 4),
-    }))
+    }
+
+    if not args.no_matrix:
+        # the other hot paths, same process (one TPU attach, relay-lease
+        # rule), lighter reps; failures must not lose the headline number
+        matrix = {}
+        for gnn, aug in (("gcn", "node"), ("gin", "subgraph"),
+                         ("gin", "mix")):
+            if (gnn, aug) == (args.gnn, args.aug):
+                continue
+            try:
+                matrix[f"{gnn}/{aug}"] = measure(
+                    gnn, aug, args.k1, args.k2, args.matrix_reps)
+            except Exception as e:  # noqa: BLE001
+                log(f"[{gnn}/{aug}] FAILED: {e!r}")
+                matrix[f"{gnn}/{aug}"] = {"error": str(e)}
+        out["matrix"] = matrix
+
+    print(json.dumps(out))
     return 0
 
 

@@ -37,10 +37,14 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from molclr_tpu.data.featurize import MASK_ATOM_TYPE
 
-_INF_TIME = jnp.int32(0x3FFFFF)
+# np (not jnp) scalar: a module-level jnp constant would boot the
+# XLA backend at import time, breaking jax.distributed.initialize
+# (which must run before any backend touch)
+_INF_TIME = np.int32(0x3FFFFF)
 
 
 def _segment_ranks(key, seg, valid, seg_counts):

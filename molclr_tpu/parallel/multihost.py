@@ -17,10 +17,12 @@ model here is the standard JAX multi-controller recipe:
      ICI within a slice and DCN across slices.
 
 Single-process correctness is pinned by tests/test_multihost.py (the
-helpers degenerate exactly to parallel/dp.shard_batch_cache semantics when
-process_count == 1); the true multi-process path follows the documented
-jax.distributed contract, which this environment cannot execute (one
-process, one tunneled chip).
+helpers degenerate exactly to parallel/dp.shard_batch_cache semantics
+when process_count == 1), and the true multi-process path EXECUTES in
+tests/test_multihost.py::TestTwoProcessIntegration: two OS processes
+under jax.distributed (TCP coordinator, gloo CPU collectives) drive
+init_distributed -> corpus_shard_range -> shard_batch_cache_global -> a
+scanned DP epoch whose losses match the single-process 2-device run.
 """
 
 from __future__ import annotations
@@ -37,8 +39,12 @@ def init_distributed(coordinator: str | None = None,
 
     On TPU pods with standard env (TPU_WORKER_HOSTNAMES etc.) all three
     args may be None and autodetection applies. No-op when already
-    initialized or when nothing indicates a multi-process run."""
-    if jax.process_count() > 1:
+    initialized or when nothing indicates a multi-process run.
+
+    Must run before anything touches the XLA backend — including
+    jax.devices()/jax.process_count() — so the already-initialized check
+    uses jax.distributed.is_initialized(), which does not boot XLA."""
+    if jax.distributed.is_initialized():
         return  # already initialized
     if coordinator is None and num_processes is None:
         import os

@@ -258,3 +258,105 @@ def load_into_torch(model: nn.Module, state: dict) -> None:
     for k in missing:
         assert "num_batches_tracked" in k or "running_" in k, k
     assert not unexpected, unexpected
+
+
+# ---- whole-run reference loops (VERDICT r3 gap #1) ----
+#
+# Epoch-level transcriptions of the reference's training campaigns, used by
+# tests/test_whole_run_parity.py to pin N-epoch trajectories (not just
+# 3 steps) of the JAX framework against torch: LR schedule x Adam x BN
+# running stats x eval-mode validation x metric-gated best epoch.
+
+
+def torch_pretrain_run(model, tb_i, tb_j, *, epochs, warm_up, init_lr,
+                       weight_decay, temperature=0.1, use_cosine=True):
+    """Reference pretrain epoch loop (molclr.py:84-91,107-147): Adam with
+    constant LR for warm_up epochs, then CosineAnnealingLR(T_max=epochs-
+    warm_up) stepped at the END of every epoch >= warm_up. One full-batch
+    step per epoch (the parity harness feeds the whole train split as one
+    batch). Returns the per-epoch training losses."""
+    opt = torch.optim.Adam(model.parameters(), lr=init_lr,
+                           weight_decay=weight_decay)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, T_max=max(1, epochs - warm_up), eta_min=0)
+    model.train()
+    losses = []
+    for epoch in range(epochs):
+        opt.zero_grad()
+        loss = pretrain_step_loss(model, tb_i, tb_j, temperature,
+                                  use_cosine)
+        loss.backward()
+        opt.step()
+        losses.append(float(loss.detach()))
+        if epoch >= warm_up:            # molclr.py:146-147
+            sched.step()
+    return losses
+
+
+def torch_finetune_run(model, tb_tr, y_tr, tb_va, y_va, tb_te, y_te, *,
+                       task, loss_kind, metric_name, epochs, head_lr,
+                       base_lr, weight_decay):
+    """Reference fine-tune epoch loop (finetune.py:167-178,196-245 of the
+    motif fork; plain variant identical): two-LR Adam (structural head
+    split, quirk Q6 fixed), one full-batch train step per epoch, eval-mode
+    validation every epoch, STRICT-improvement best-state gating on the
+    task metric, final test metric from the best state.
+
+    Returns {"train_losses", "valid_metrics", "test_metric",
+    "best_epoch"}. Scores follow the framework default (score_mode=
+    'softmax'): softmax class-1 probability for classification, raw
+    prediction for regression."""
+    import copy
+
+    from molclr_tpu.train.metrics import METRIC_DIRECTION, METRICS
+
+    head = [p for k, p in model.named_parameters()
+            if k.startswith("pred_head")]
+    base = [p for k, p in model.named_parameters()
+            if not k.startswith("pred_head")]
+    opt = torch.optim.Adam(
+        [{"params": base, "lr": base_lr}, {"params": head}],
+        lr=head_lr, weight_decay=weight_decay)
+    criterion = {"ce": nn.CrossEntropyLoss(), "mse": nn.MSELoss(),
+                 "l1": nn.L1Loss()}[loss_kind]
+    metric_fn = METRICS[metric_name]
+    direction = METRIC_DIRECTION[metric_name]
+
+    if task == "classification":
+        ty_tr = torch.tensor(np.asarray(y_tr), dtype=torch.long)
+    else:
+        ty_tr = torch.tensor(np.asarray(y_tr, np.float32)[:, None])
+
+    def eval_metric(tb, y):
+        model.eval()
+        with torch.no_grad():
+            _, pred = model(tb)
+        p = pred.numpy()
+        if task == "classification":
+            e = np.exp(p - p.max(axis=1, keepdims=True))
+            scores = (e / e.sum(axis=1, keepdims=True))[:, 1]
+        else:
+            scores = p[:, 0]
+        return metric_fn(np.asarray(y), scores)
+
+    best, best_sd, best_epoch = -np.inf, None, -1
+    train_losses, valid_metrics = [], []
+    for epoch in range(epochs):
+        model.train()
+        opt.zero_grad()
+        _, pred = model(tb_tr)
+        loss = criterion(pred, ty_tr)
+        loss.backward()
+        opt.step()
+        train_losses.append(float(loss.detach()))
+        vm = eval_metric(tb_va, y_va)
+        valid_metrics.append(vm)
+        if direction * vm > best:       # strict, as the reference gates
+            best = direction * vm
+            best_epoch = epoch
+            best_sd = copy.deepcopy(model.state_dict())
+    if best_sd is not None:
+        model.load_state_dict(best_sd)
+    return {"train_losses": train_losses, "valid_metrics": valid_metrics,
+            "test_metric": eval_metric(tb_te, y_te),
+            "best_epoch": best_epoch}

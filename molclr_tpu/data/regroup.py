@@ -1,0 +1,163 @@
+"""Fresh per-epoch batch compositions on the device-resident path.
+
+The reference re-draws batch MEMBERSHIP every epoch (its DataLoader
+reshuffles molecules, dataset/dataset.py:179-183), so the in-batch
+negatives of the contrastive loss change across epochs. The resident-HBM
+batch cache (train/pretrain.py) froze compositions after epoch 0 — only
+batch ORDER reshuffled (VERDICT r3 missing #2). This module restores
+fresh compositions WITHOUT re-introducing per-epoch host repacking or
+host->device transfers:
+
+  - the corpus is packed ONCE into fixed-shape TILE-UNITS: each unit is a
+    mini GraphBatch of exactly `tile` node slots (one MXU tile), G_t graph
+    slots and E_t edge slots, with whole molecules inside (the tile
+    contract trivially holds: unit n_nodes == tile);
+  - the unit stack [U, ...] is uploaded to HBM once;
+  - every training step draws T units and `concat_units` renumbers them
+    into one standard GraphBatch ON-DEVICE: a leading-axis take of T
+    contiguous unit rows plus static per-slot offsets (node += i*tile,
+    graph += i*G_t, bond += i*B_t with the sentinel mapped to T*B_t) —
+    the exact arithmetic of data/graphs.concat_shards, vectorized, with
+    zero scatters and zero host traffic.
+
+Per epoch, a fresh permutation of all U units regrouped into S batches
+re-draws the negative pool of every batch. Granularity note: molecules
+WITHIN one tile-unit stay together across epochs (~tile/avg_atoms
+molecules); everything across units — i.e. all but ~G_t of each batch's
+~T*G_t pairings — is redrawn each epoch. Cross-epoch randomness of the
+views themselves is unaffected (augmentation is drawn on-device per
+step).
+
+Cost: the unit stack holds the same bytes as the frozen batch cache (unit
+padding replaces batch padding), and the per-step regroup is a contiguous
+[T, tile]-block gather + elementwise offset adds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from molclr_tpu.data.graphs import GraphBatch, PadSpec
+
+
+def plan_units(graphs, tile: int) -> list[list]:
+    """Greedy first-fit grouping of molecules into `tile`-node units,
+    preserving the given order (shuffle upstream for mixed units)."""
+    groups, cur, nodes = [], [], 0
+    for g in graphs:
+        if g.n_atoms > tile:
+            raise ValueError(
+                f"molecule with {g.n_atoms} atoms exceeds tile {tile}")
+        if nodes + g.n_atoms > tile:
+            groups.append(cur)
+            cur, nodes = [], 0
+        cur.append(g)
+        nodes += g.n_atoms
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def unit_spec_for(groups, tile: int, max_degree: int = 6) -> PadSpec:
+    """The single static PadSpec covering every planned unit: G_t / E_t
+    are the worst case over groups (one compile for all units)."""
+    g_t = max(len(gr) for gr in groups)
+    e_t = max(sum(g.edge_src.shape[0] for g in gr) for gr in groups)
+    e_t = -(-e_t // 2) * 2
+    max_bonds = max(g.edge_src.shape[0] // 2
+                    for gr in groups for g in gr)
+    return PadSpec(n_graphs=g_t, n_nodes=tile, n_edges=max(e_t, 2),
+                   max_degree=max_degree, tile=tile,
+                   max_graph_bonds=max_bonds)
+
+
+def pack_unit_stack(graphs, tile: int, max_degree: int = 6,
+                    seed: int = 0):
+    """Pack a corpus into the [U, ...] tile-unit stack (host, one-time).
+
+    Returns (stack_tree of numpy arrays with leading axis U, unit_spec,
+    units_per_batch_for(n_nodes) helper inputs). Molecules are shuffled
+    once (seeded) before grouping so units mix the corpus."""
+    from molclr_tpu.data.graphs import pack_batch
+
+    order = np.random.RandomState(seed).permutation(len(graphs))
+    shuffled = [graphs[i] for i in order]
+    groups = plan_units(shuffled, tile)
+    uspec = unit_spec_for(groups, tile, max_degree)
+    units = [pack_batch(gr, uspec) for gr in groups]
+    import jax
+
+    stack = jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs], axis=0), *units)
+    return stack, uspec, units
+
+
+def concat_units(stack, idx):
+    """Jittable vectorized concat_shards over a unit stack.
+
+    stack: GraphBatch pytree with a leading unit axis [U, ...];
+    idx: int32 [T] unit ids. Returns one GraphBatch with T*tile nodes,
+    T*G_t graphs, T*E_t edges — bit-identical to
+    concat_shards([units[i] for i in idx])."""
+    import jax.numpy as jnp
+
+    t = idx.shape[0]
+    n = stack.atom_type.shape[1]          # tile
+    g = stack.graph_mask.shape[1]         # G_t
+    bmax = stack.bond_graph.shape[1]      # B_t
+    off = jnp.arange(t, dtype=jnp.int32)
+
+    def take(field):
+        return jnp.take(getattr(stack, field), idx, axis=0)
+
+    def flat(field):
+        y = take(field)
+        return y.reshape((t * y.shape[1],) + y.shape[2:])
+
+    def shifted(field, s):
+        y = take(field)
+        o = off.reshape((t,) + (1,) * (y.ndim - 1))
+        return (y + o * s).reshape((t * y.shape[1],) + y.shape[2:])
+
+    def shifted_bond(field):
+        # per-unit sentinel B_t -> concatenated sentinel T*B_t (the
+        # sentinel-bond invariant of concat_shards, graphs.py:149-153)
+        y = take(field)
+        o = off.reshape((t,) + (1,) * (y.ndim - 1))
+        y = jnp.where(y == bmax, t * bmax, y + o * bmax)
+        return y.reshape((t * y.shape[1],) + y.shape[2:])
+
+    return GraphBatch(
+        atom_type=flat("atom_type"),
+        chirality=flat("chirality"),
+        node_graph=shifted("node_graph", g),
+        node_mask=flat("node_mask"),
+        src=shifted("src", n),
+        dst=shifted("dst", n),
+        bond_type=flat("bond_type"),
+        bond_dir=flat("bond_dir"),
+        edge_bond=shifted_bond("edge_bond"),
+        edge_mask=flat("edge_mask"),
+        nbr=shifted("nbr", n),
+        nbr_bond_type=flat("nbr_bond_type"),
+        nbr_bond_dir=flat("nbr_bond_dir"),
+        nbr_bond=shifted_bond("nbr_bond"),
+        nbr_mask=flat("nbr_mask"),
+        bond_graph=shifted("bond_graph", g),
+        bond_mask=flat("bond_mask"),
+        graph_mask=flat("graph_mask"),
+        graph_n_nodes=flat("graph_n_nodes"),
+        graph_n_bonds=flat("graph_n_bonds"),
+    )
+
+
+def epoch_unit_orders(n_units: int, units_per_batch: int, seed: int,
+                      epoch: int) -> np.ndarray:
+    """Deterministic per-epoch regrouping: a fresh permutation of all
+    units reshaped to [S, T]; the remainder (< T units) is dropped, the
+    drop_last analog at unit granularity. Seeded by (seed, epoch) so
+    resume reproduces the identical stream."""
+    rng = np.random.RandomState((seed * 1_000_003 + epoch) % (2**31 - 1))
+    perm = rng.permutation(n_units).astype(np.int32)
+    s = n_units // units_per_batch
+    return perm[: s * units_per_batch].reshape(s, units_per_batch)

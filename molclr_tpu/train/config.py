@@ -80,6 +80,20 @@ class PretrainConfig:
                                     # measured 0.26 vs 0.56 s on the 50k
                                     # demo)
                                     # (amortizes dispatch overhead; 1 = off)
+    fresh_compositions: bool = True # resident-cache epochs re-draw batch
+                                    # MEMBERSHIP every epoch (reference
+                                    # DataLoader reshuffle semantics,
+                                    # dataset/dataset.py:179-183) via the
+                                    # device-resident tile-unit regroup
+                                    # (data/regroup.py): the corpus is
+                                    # packed once into fixed-shape tile
+                                    # units and every step concatenates a
+                                    # fresh random selection ON-DEVICE.
+                                    # False = frozen compositions (only
+                                    # batch order reshuffles), the r1-r3
+                                    # behavior. Needs tile > 0 and a
+                                    # single-chip resident cache; other
+                                    # paths keep their existing semantics.
     pack_cache_max_mols: int = 500_000  # cache packed batches across epochs
                                     # (batch order reshuffles; composition
                                     # fixes after epoch 0 — augmentation is

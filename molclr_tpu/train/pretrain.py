@@ -272,6 +272,20 @@ class Pretrainer:
                 return train_step(s, b, rng)
             return jax.lax.scan(body, state, idxs)
 
+        def multi_step_units(state, ustack, idx_mat, rng):
+            """Scan over a [F, T] unit-index matrix: each step regroups T
+            tile-units from the device-resident unit stack into one fresh
+            batch ON-DEVICE (data/regroup.py concat_units) and trains on
+            it — per-epoch fresh batch compositions (reference DataLoader
+            reshuffle semantics, dataset/dataset.py:179-183) with zero
+            host traffic beyond the index matrix."""
+            from molclr_tpu.data.regroup import concat_units
+
+            def body(st, row):
+                return train_step(st, concat_units(ustack, row), rng)
+
+            return jax.lax.scan(body, state, idx_mat)
+
         def eval_multi(state, stack, rng):
             """All validation batches in one dispatch over the device-
             resident eval stack (same per-batch rng stream as the loop)."""
@@ -342,10 +356,15 @@ class Pretrainer:
                 self._multi_step_wire = None
             self._multi_step_resident = jax.jit(multi_step_resident,
                                                 donate_argnums=(0,))
+            self._multi_step_units = jax.jit(multi_step_units,
+                                             donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
         self._eval_multi = jax.jit(eval_multi)
         self._eval_stack = None
         self._device_stack = None
+        self._unit_stack = None
+        self._n_units = 0
+        self._units_per_batch = 0
         self._dp_shard_size = 0
         self._device_cache_used_mb = 0.0
 
@@ -503,13 +522,24 @@ class Pretrainer:
         stack it and upload to HBM if it fits the device_cache_mb budget.
         Under data parallelism the cache is SHARDED across the mesh (each
         device holds 1/n_dev of the epoch; per-shard shuffling thereafter),
-        so the budget check is per-device."""
+        so the budget check is per-device.
+
+        With cfg.fresh_compositions (single-chip, tile > 0) the upload is
+        a TILE-UNIT stack instead of frozen packed batches: every epoch
+        thereafter re-draws batch membership on-device
+        (data/regroup.py)."""
         cfg = self.cfg
-        if self._device_stack is not None or not cfg.device_cache_mb:
+        if (self._device_stack is not None
+                or self._unit_stack is not None
+                or not cfg.device_cache_mb):
             return
         cache = getattr(self.train_iter, "cache", None)
         if not cache:
             return
+        if (cfg.fresh_compositions and not cfg.data_axis
+                and cfg.model.tile > 0):
+            if self._maybe_upload_units(log):
+                return
         batches = [gb for gb, _, _ in cache]
         per = sum(np.asarray(x).nbytes
                   for x in jax.tree_util.tree_leaves(batches[0]))
@@ -556,6 +586,52 @@ class Pretrainer:
         self._device_stack = jax.device_put(stacked)
         log(f"uploaded {len(batches)}-batch cache ({total_mb:.0f} MB) to "
             f"device; epochs are now transfer-free")
+
+    def _maybe_upload_units(self, log) -> bool:
+        """Pack the train split into tile-units and upload the [U, ...]
+        stack (one-time host work + one transfer). Units per step is
+        chosen as U // steps_per_epoch so the number of optimizer steps
+        per epoch — and therefore the baked LR schedule — is unchanged
+        from the packed-batch path. Returns True when the units path is
+        active."""
+        cfg = self.cfg
+        from molclr_tpu.data.regroup import pack_unit_stack
+
+        graphs = self.train_iter.graphs
+        try:
+            stack, uspec, units = pack_unit_stack(
+                graphs, cfg.model.tile, cfg.max_degree, seed=cfg.seed)
+        except ValueError as e:
+            log(f"fresh-compositions unit packing unavailable ({e}); "
+                f"falling back to the frozen batch cache")
+            return False
+        u = len(units)
+        s_epoch = max(1, len(self.train_iter))
+        t = u // s_epoch
+        if t < 1:
+            log(f"{u} tile-units < {s_epoch} steps/epoch; falling back "
+                f"to the frozen batch cache")
+            return False
+        total_mb = sum(x.nbytes for x in
+                       jax.tree_util.tree_leaves(stack)) / 2**20
+        if self._device_cache_used_mb + total_mb > cfg.device_cache_mb:
+            log(f"tile-unit stack {total_mb:.0f} MB exceeds "
+                f"device_cache_mb={cfg.device_cache_mb}; staying "
+                f"host-side")
+            return False
+        self._unit_stack = jax.device_put(stack)
+        self._n_units, self._units_per_batch = u, t
+        self._device_cache_used_mb += total_mb
+        # throughput accounting: per-step real content is T/U of the corpus
+        n_edges = sum(int(g.edge_src.shape[0]) for g in graphs)
+        n_nodes = sum(int(g.n_atoms) for g in graphs)
+        self._mean_real_edges = n_edges * t / u
+        self._mean_real_nodes = n_nodes * t / u
+        log(f"uploaded {u}-unit stack ({total_mb:.0f} MB, "
+            f"{t} units x {cfg.model.tile} nodes per step, "
+            f"{s_epoch} steps/epoch); epochs re-draw batch compositions "
+            f"on-device")
+        return True
 
     def _dp_epoch_orders(self):
         """Per-device local batch orders [n_dev, S] for one epoch over the
@@ -649,7 +725,25 @@ class Pretrainer:
                 t0 = time.time()
                 losses = []
                 pending = []
-                if self._device_stack is not None and cfg.data_axis:
+                if self._unit_stack is not None:
+                    # fresh-composition resident epoch: scan-folded
+                    # dispatches regroup tile-units on-device; only the
+                    # [S, T] unit-index matrix is uploaded per epoch
+                    from molclr_tpu.data.regroup import epoch_unit_orders
+
+                    orders = epoch_unit_orders(
+                        self._n_units, self._units_per_batch, cfg.seed,
+                        epoch)
+                    fold = (orders.shape[0] if auto_fold
+                            else max(1, cfg.steps_per_dispatch))
+                    for lo in range(0, orders.shape[0], fold):
+                        idxs = jnp.asarray(orders[lo : lo + fold])
+                        self.state, loss_arr = self._multi_step_units(
+                            self.state, self._unit_stack, idxs, rng)
+                        losses.extend(float(x)
+                                      for x in np.asarray(loss_arr))
+                    self._log_step(log, epoch, losses, cfg)
+                elif self._device_stack is not None and cfg.data_axis:
                     # DP device-resident epoch: scan-folded dispatches over
                     # the SHARDED HBM cache; the only upload per dispatch is
                     # the [n_dev, S] index matrix

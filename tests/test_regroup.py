@@ -1,0 +1,168 @@
+"""On-device fresh batch compositions (data/regroup.py): the tile-unit
+stack + concat_units must reproduce concat_shards bit-exactly, train
+correctly through the model, and re-draw batch memberships per epoch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from molclr_tpu.data import featurize_smiles
+from molclr_tpu.data.graphs import concat_shards
+from molclr_tpu.data.regroup import (
+    concat_units,
+    epoch_unit_orders,
+    pack_unit_stack,
+    plan_units,
+)
+from molclr_tpu.data.synthetic import synthetic_corpus
+
+TILE = 64
+
+
+def _graphs(n=96, seed=5):
+    smiles = synthetic_corpus(n, seed=seed)
+    return [g for g in (featurize_smiles(s) for s in smiles)
+            if g is not None and g.max_degree <= 6]
+
+
+class TestConcatUnits:
+    def test_bit_exact_vs_concat_shards(self):
+        graphs = _graphs()
+        stack, uspec, units = pack_unit_stack(graphs, TILE, seed=3)
+        u = len(units)
+        assert u >= 8
+        idx = np.random.RandomState(0).permutation(u)[:6].astype(np.int32)
+        got = jax.jit(concat_units)(stack, jnp.asarray(idx))
+        want = concat_shards([units[i] for i in idx])
+        for f in ("atom_type", "chirality", "node_graph", "node_mask",
+                  "src", "dst", "bond_type", "bond_dir", "edge_bond",
+                  "edge_mask", "nbr", "nbr_bond_type", "nbr_bond_dir",
+                  "nbr_bond", "nbr_mask", "bond_graph", "bond_mask",
+                  "graph_mask", "graph_n_nodes", "graph_n_bonds"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, f)), np.asarray(getattr(want, f)),
+                err_msg=f)
+
+    def test_units_cover_corpus_exactly_once(self):
+        graphs = _graphs()
+        groups = plan_units(graphs, TILE)
+        flat = [g for gr in groups for g in gr]
+        assert len(flat) == len(graphs)
+        # identity (same objects, same order)
+        assert all(a is b for a, b in zip(flat, graphs))
+        assert all(sum(g.n_atoms for g in gr) <= TILE for gr in groups)
+
+    def test_model_loss_and_grads_match_repacked(self):
+        """A training forward/backward on the regrouped on-device batch
+        equals the same molecules host-packed the classic way (semantic
+        equivalence: losses are padding/layout invariant)."""
+        from molclr_tpu.data.graphs import PadSpec, pack_batch
+        from molclr_tpu.losses import nt_xent_loss
+        from molclr_tpu.models import MolCLRNet
+
+        graphs = _graphs()
+        stack, uspec, units = pack_unit_stack(graphs, TILE, seed=3)
+        idx = jnp.arange(6, dtype=jnp.int32)
+        dev_batch = jax.jit(concat_units)(stack, idx)
+
+        # the same molecules, packed from scratch into an equal-capacity
+        # batch (different layout: no unit padding); reproduce the
+        # pack_unit_stack shuffle to recover each unit's molecule group
+        shuffled = [graphs[i] for i in
+                    np.random.RandomState(3).permutation(len(graphs))]
+        groups = plan_units(shuffled, TILE)
+        mols = [g for i in np.asarray(idx) for g in groups[i]]
+        spec = PadSpec(n_graphs=dev_batch.num_graphs,
+                       n_nodes=dev_batch.num_nodes,
+                       n_edges=dev_batch.num_edges, max_degree=6,
+                       tile=TILE, max_graph_bonds=uspec.max_graph_bonds)
+        host_batch = pack_batch(mols, spec)
+
+        model = MolCLRNet(gnn_type="gin", num_layers=2, emb_dim=32,
+                          feat_dim=64, tile=TILE)
+        variables = model.init(jax.random.PRNGKey(0), host_batch,
+                               train=False)
+
+        def loss_fn(params, stats, batch):
+            (_, z), upd = model.apply(
+                {"params": params, "batch_stats": stats}, batch,
+                train=True, mutable=["batch_stats"])
+            return nt_xent_loss(z, z, 0.1, True,
+                                pair_mask=batch.graph_mask), \
+                upd["batch_stats"]
+
+        vg = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+        (l_dev, _), g_dev = vg(variables["params"],
+                               variables["batch_stats"], dev_batch)
+        (l_host, _), g_host = vg(variables["params"],
+                                 variables["batch_stats"], host_batch)
+        np.testing.assert_allclose(float(l_dev), float(l_host), rtol=1e-5)
+        for (ka, a), (kb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(g_dev),
+                jax.tree_util.tree_leaves_with_path(g_host)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6,
+                err_msg=jax.tree_util.keystr(ka))
+
+    def test_epoch_orders_redraw_membership(self):
+        orders0 = epoch_unit_orders(100, 8, seed=1, epoch=0)
+        orders1 = epoch_unit_orders(100, 8, seed=1, epoch=1)
+        assert orders0.shape == orders1.shape == (12, 8)
+        # batch memberships differ between epochs
+        sets0 = [frozenset(r) for r in orders0]
+        sets1 = [frozenset(r) for r in orders1]
+        assert sets0 != sets1
+        # each epoch uses each kept unit exactly once
+        assert len(set(orders0.ravel())) == 96
+        # deterministic for resume
+        np.testing.assert_array_equal(
+            orders1, epoch_unit_orders(100, 8, seed=1, epoch=1))
+
+
+class TestPretrainerFreshCompositions:
+    def test_resident_epochs_use_units_and_learn(self, tmp_path):
+        """End-to-end: after epoch 0 the Pretrainer uploads the tile-unit
+        stack; later epochs regroup on-device, keep the schedule's
+        steps-per-epoch, and the loss decreases."""
+        from molclr_tpu.train.config import ModelConfig, PretrainConfig
+        from molclr_tpu.train.pretrain import Pretrainer
+
+        cfg = PretrainConfig(
+            batch_size=48, epochs=3, warm_up=1, aug="node",
+            valid_size=0.1, seed=0, featurize_processes=0,
+            eval_every_epochs=100, save_every_epochs=100,
+            ckpt_dir=str(tmp_path / "pre"), device_cache_mb=512,
+            model=ModelConfig(gnn_type="gin", num_layers=2, emb_dim=32,
+                              feat_dim=64, tile=TILE, drop_ratio=0.0))
+        smiles = synthetic_corpus(400, seed=9)
+        pre = Pretrainer(cfg).setup_data(smiles)
+        pre.setup_state(next(iter(pre.train_iter))[0])
+        s_epoch = len(pre.train_iter)
+        history = pre.train(log=lambda *_: None)
+        assert pre._unit_stack is not None, "units path did not activate"
+        assert pre._units_per_batch >= 1
+        # schedule contract: steps per epoch unchanged by the units path
+        assert all(h["steps"] == s_epoch for h in history)
+        losses = [h["train_loss"] for h in history]
+        assert all(np.isfinite(l) for l in losses)
+        assert losses[-1] < losses[0]
+
+    def test_flag_off_keeps_frozen_batch_cache(self, tmp_path):
+        from molclr_tpu.train.config import ModelConfig, PretrainConfig
+        from molclr_tpu.train.pretrain import Pretrainer
+
+        cfg = PretrainConfig(
+            batch_size=48, epochs=2, warm_up=1, aug="node",
+            valid_size=0.1, seed=0, featurize_processes=0,
+            eval_every_epochs=100, save_every_epochs=100,
+            ckpt_dir=str(tmp_path / "pre"), device_cache_mb=512,
+            fresh_compositions=False,
+            model=ModelConfig(gnn_type="gin", num_layers=2, emb_dim=32,
+                              feat_dim=64, tile=TILE, drop_ratio=0.0))
+        smiles = synthetic_corpus(400, seed=9)
+        pre = Pretrainer(cfg).setup_data(smiles)
+        pre.setup_state(next(iter(pre.train_iter))[0])
+        history = pre.train(log=lambda *_: None)
+        assert pre._unit_stack is None
+        assert pre._device_stack is not None
+        assert all(np.isfinite(h["train_loss"]) for h in history)

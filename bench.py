@@ -62,6 +62,9 @@ def main() -> int:
                         "(ops/fused_layer.py) instead of XLA op chains; "
                         "auto = on for gin+tile on a real TPU (the fast "
                         "path: 2.20 vs 2.77 ms step on v5e)")
+    p.add_argument("--adam", choices=["chain", "fused"], default="chain",
+                   help="optimizer impl: per-leaf optax chain or the "
+                        "single-buffer raveled Adam (identical numerics)")
     p.add_argument("--no-matrix", action="store_true",
                    help="skip the GCN/subgraph/mix matrix (headline only)")
     p.add_argument("--matrix-reps", type=int, default=3,
@@ -85,7 +88,7 @@ def main() -> int:
     from molclr_tpu.data.synthetic import synthetic_corpus
     from molclr_tpu.losses import nt_xent_loss
     from molclr_tpu.models import MolCLRNet, resolve_fused
-    from molclr_tpu.train.optim import adam_torch
+    from molclr_tpu.train.optim import adam_torch, adam_torch_fused
     from molclr_tpu.train.state import TrainState
 
     dev = jax.devices()[0]
@@ -124,7 +127,8 @@ def main() -> int:
             tile=args.tile, fused=fused)
         variables = jax.device_put(
             model.init(jax.random.PRNGKey(0), batch, train=False))
-        tx = adam_torch(5e-4, 1e-5)
+        tx = (adam_torch_fused if args.adam == "fused"
+              else adam_torch)(5e-4, 1e-5)
         state = TrainState(params=variables["params"],
                            batch_stats=variables.get("batch_stats", {}),
                            opt_state=tx.init(variables["params"]), step=0)

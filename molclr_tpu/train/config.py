@@ -53,6 +53,13 @@ class PretrainConfig:
     ntxent_impl: str = "xla"        # 'xla' | 'pallas' (fused blockwise
                                     # kernel, ops/pallas_ntxent.py; wins
                                     # only at pod-scale global batches)
+    adam_impl: str = "chain"        # 'chain' (optax per-leaf chain) |
+                                    # 'fused' (single-buffer raveled Adam,
+                                    # train/optim.py adam_torch_fused —
+                                    # identical numerics, one wide fused
+                                    # elementwise pass). Checkpoints store
+                                    # the opt-state structure, so resume
+                                    # must use the same impl.
     aug: str = "node"               # 'node' | 'subgraph' | 'mix'
     valid_size: float = 0.05        # config.yaml:26
     model: ModelConfig = field(default_factory=ModelConfig)

@@ -147,7 +147,14 @@ class Pretrainer:
         steps_per_epoch = max(1, len(self.train_iter))
         self.schedule = warmup_then_cosine(cfg.init_lr, steps_per_epoch,
                                            cfg.epochs, cfg.warm_up)
-        self.tx = adam_torch(self.schedule, cfg.weight_decay)
+        if cfg.adam_impl == "fused":
+            from molclr_tpu.train.optim import adam_torch_fused
+
+            self.tx = adam_torch_fused(self.schedule, cfg.weight_decay)
+        elif cfg.adam_impl == "chain":
+            self.tx = adam_torch(self.schedule, cfg.weight_decay)
+        else:
+            raise ValueError(f"unknown adam_impl {cfg.adam_impl!r}")
         full = None
         if cfg.resume_from:
             params, stats, full = self._resume(params, stats)

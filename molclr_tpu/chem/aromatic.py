@@ -18,8 +18,9 @@ Kekulé bonds):
   atom with a DOUBLE bond to another ring's atom ......... 1  (fused Kekulé)
   C with an exocyclic DOUBLE bond to acyclic O/N/S ....... 0  (carbonyl:
         2-pyridone / caffeine rings are aromatic, as in RDKit)
-  C with an exocyclic DOUBLE bond to acyclic C ........... not aromatic
-        (fulvene), matching RDKit
+  C with an exocyclic DOUBLE bond to acyclic C ........... 0  (the atom
+        stays sp2-capable; fulvene fails on the COUNT — 4 electrons —
+        not by disqualification, matching RDKit)
   N/P with three sigma bonds (incl. H), no double bond ... 2  (pyrrole)
   O/S/Se/Te in ring ...................................... 2  (furan)
   C- / C+ without double bond ............................ 2 / 0
@@ -40,8 +41,7 @@ what makes the canonical writer emit the mandatory `[nH]` form.
 Fused systems whose individual rings fail the electron count get a
 ring-union envelope pass (azulene, indolizine, biphenylene — see
 _fused_envelope_pass), and 4n+2 macrocycles up to MAX_AROMATIC_RING atoms
-aromatize like RDKit's ([14]/[18]/[22]annulene). Documented divergence:
-exocyclic C=C to an acyclic atom fails the ring rather than contributing 0.
+aromatize like RDKit's ([14]/[18]/[22]annulene).
 """
 
 from __future__ import annotations
@@ -249,6 +249,12 @@ def _contribution(mol: Mol, a: int, members: set[int], incident, ring_atom):
         return 1
     if exo_acyc_dbl_to is not None:
         if sym == "C" and exo_acyc_dbl_to in _ELECTRONEG_EXO:
+            return 0
+        if sym == "C" and exo_acyc_dbl_to == "C":
+            # exocyclic C=C to an acyclic carbon: the ring atom stays
+            # sp2-capable and contributes 0 pi electrons, like RDKit
+            # (fulvene still fails 4n+2 on the COUNT — 4 electrons —
+            # not by disqualification; VERDICT r3 missing #3)
             return 0
         if sym in ("N", "P") and exo_acyc_dbl_to in _ELECTRONEG_EXO:
             # ring N with exocyclic N=O (nitro-in-ring etc.)

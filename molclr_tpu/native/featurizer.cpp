@@ -435,6 +435,10 @@ int pi_contribution(const Mol& m, int a, const bool* in_ring_set,
   if (ring_dbl || exo_ring_dbl) return 1;
   if (exo_acyc_dbl_z != 0) {
     if (z == 6 && exo_electroneg) return 0;
+    // exocyclic C=C to an acyclic carbon: sp2-capable, 0 pi electrons
+    // (mirrors chem/aromatic.py; fulvene fails on the count, not by
+    // disqualification)
+    if (z == 6 && exo_acyc_dbl_z == 6) return 0;
     if ((z == 7 || z == 15) && exo_electroneg) return 1;
     return -1;
   }

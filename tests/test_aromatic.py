@@ -162,3 +162,48 @@ def test_macrocycle_aromaticity_both_featurizers():
             assert out is not None and len(out[0]) == 1, s
             np.testing.assert_array_equal(py.bond_type, out[0][0].bond_type,
                                           err_msg=s)
+
+
+class TestExocyclicCC:
+    """Exocyclic C=C to an acyclic carbon contributes 0 pi electrons
+    (sp2-capable atom, RDKit semantics) instead of disqualifying the
+    ring; fulvene-class rings still fail on the COUNT (4 electrons)."""
+
+    def test_fulvene_stays_kekule_by_count(self):
+        mol = parse_smiles("C=C1C=CC=C1")
+        assert not any(a.is_aromatic for a in mol.atoms)
+
+    def test_heptafulvene_aromatizes(self):
+        # 7-ring: 3 ring doubles (6 e) + exo atom (0 e) = 6 = 4n+2
+        mol = parse_smiles("C=C1C=CC=CC=C1")
+        ring_atoms = [a for a in mol.atoms[1:]]     # atom 0 is the exo CH2
+        assert sum(a.is_aromatic for a in mol.atoms) == 7
+        assert all(a.is_aromatic for a in ring_atoms)
+
+    def test_benzofulvene_five_ring_stays_kekule(self):
+        # the 5-ring counts 4 (2 fusion contributions + 2 ring-double
+        # atoms... exo 0) and must NOT aromatize; the benzo ring must
+        mol = parse_smiles("C=C1C=Cc2ccccc21")
+        assert sum(a.is_aromatic for a in mol.atoms) == 6
+
+    def test_quinone_methide_stays_kekule(self):
+        mol = parse_smiles("O=C1C=CC(=C)C=C1")
+        assert not any(a.is_aromatic for a in mol.atoms)
+
+    def test_native_parity_exocyclic_cc(self):
+        from molclr_tpu import native
+        from molclr_tpu.data.featurize import featurize_smiles as feat_py
+        from molclr_tpu.native import featurize_smiles_native as feat_cc
+
+        if not native.native_available():
+            import pytest
+
+            pytest.skip("no native featurizer")
+        for smi in ("C=C1C=CC=C1", "C=C1C=CC=CC=C1", "C=C1C=Cc2ccccc21",
+                    "O=C1C=CC(=C)C=C1", "C=C1C=CC(=C)C=C1"):
+            py = feat_py(smi)
+            cc = feat_cc(smi)
+            assert py is not None and cc is not None, smi
+            np.testing.assert_array_equal(py.atom_type, cc.atom_type, smi)
+            np.testing.assert_array_equal(py.bond_type, cc.bond_type, smi)
+            np.testing.assert_array_equal(py.edge_src, cc.edge_src, smi)

@@ -62,6 +62,11 @@ def main() -> int:
                         "(ops/fused_layer.py) instead of XLA op chains; "
                         "auto = on for gin+tile on a real TPU (the fast "
                         "path: 2.20 vs 2.77 ms step on v5e)")
+    p.add_argument("--aug-mode", choices=["pre", "step"], default="pre",
+                   help="'pre' batches all K steps' augmentations into one "
+                        "vmapped op per dispatch (augmentation is overhead-"
+                        "bound in-step); 'step' computes views inside each "
+                        "scan step (r1-r3 behavior). Identical numerics.")
     p.add_argument("--adam", choices=["chain", "fused"], default="chain",
                    help="optimizer impl: per-leaf optax chain or the "
                         "single-buffer raveled Adam (identical numerics)")
@@ -133,11 +138,14 @@ def main() -> int:
                            batch_stats=variables.get("batch_stats", {}),
                            opt_state=tx.init(variables["params"]), step=0)
 
-        def loss_fn(params, batch_stats, rng):
+        def loss_fn(params, batch_stats, rng, views=None):
             ra, ri, rj = jax.random.split(rng, 3)
-            vi, vj = paired_augment(batch, ra, aug, tile=args.tile,
-                                    bond_window=spec.max_graph_bonds,
-                                    bfs_stride=args.bfs_stride)
+            if views is not None:
+                vi, vj = views
+            else:
+                vi, vj = paired_augment(batch, ra, aug, tile=args.tile,
+                                        bond_window=spec.max_graph_bonds,
+                                        bfs_stride=args.bfs_stride)
             if args.concat:
                 both = concat_views(vi, vj)
                 (_, z), upd = model.apply(
@@ -161,9 +169,10 @@ def main() -> int:
                                 0.1, pair_mask=batch.graph_mask), \
                 upd["batch_stats"]
 
-        def one_step(state, rng):
+        def one_step(state, rng, views=None):
             (loss, stats), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params, state.batch_stats, rng)
+                loss_fn, has_aux=True)(state.params, state.batch_stats, rng,
+                                       views)
             updates, opt_state = tx.update(grads, state.opt_state,
                                            state.params)
             params = jax.tree_util.tree_map(lambda p, u: p + u,
@@ -172,10 +181,28 @@ def main() -> int:
                               opt_state=opt_state, step=state.step + 1), \
                 loss
 
+        from molclr_tpu.data.augment import (
+            apply_view_delta,
+            precompute_paired_deltas,
+        )
+
         @partial(jax.jit, static_argnums=2)
         def multi_step(state, rng, k):
-            def body(s, i):
-                return one_step(s, jax.random.fold_in(rng, i))
+            if args.aug_mode == "pre":
+                deltas = precompute_paired_deltas(
+                    batch, rng, k, aug, tile=args.tile,
+                    bond_window=spec.max_graph_bonds,
+                    bfs_stride=args.bfs_stride)
+
+                def body(s, i):
+                    di, dj = jax.tree_util.tree_map(
+                        lambda x: x[i], deltas)
+                    views = (apply_view_delta(batch, di),
+                             apply_view_delta(batch, dj))
+                    return one_step(s, jax.random.fold_in(rng, i), views)
+            else:
+                def body(s, i):
+                    return one_step(s, jax.random.fold_in(rng, i))
             return jax.lax.scan(body, state, jnp.arange(k, dtype=jnp.int32))
 
         rng = jax.random.PRNGKey(1)

@@ -681,3 +681,49 @@ def paired_augment(batch, rng, kind: str = "node", tile: int = 0,
         kwargs["bond_window"] = bond_window
         return paired_mix_augment(batch, rng_i, rng_j, rng_start, **kwargs)
     raise ValueError(f"unknown augmentation kind {kind!r}")
+
+
+# ---- batched per-dispatch augmentation (VERDICT r4 roofline work) ----
+#
+# Every augmentation kind mutates exactly these four fields; the rest of
+# the GraphBatch is the shared base batch. Augmentation is independent of
+# the train state, so a K-step dispatch can compute ALL K steps' paired
+# views in one vmapped op up front (one launch of big fused kernels
+# instead of K launches of ~30 small ops — augmentation is overhead-
+# bound, ~0.40 ms/step standalone on v5e at B=512) and the scan body
+# just leading-axis-indexes the deltas (~95 KB/view/step).
+
+AUG_DELTA_FIELDS = ("atom_type", "chirality", "edge_mask", "nbr_mask")
+
+
+def view_delta(view):
+    """The augmented fields of a view, as a tuple pytree."""
+    return tuple(getattr(view, f) for f in AUG_DELTA_FIELDS)
+
+
+def apply_view_delta(batch, delta):
+    """Reconstruct a full view from the base batch + a delta tuple."""
+    return batch.replace(**dict(zip(AUG_DELTA_FIELDS, delta)))
+
+
+def precompute_paired_deltas(batch, rng, k: int, kind: str,
+                             chunk: int = 16, **kwargs):
+    """Both views' deltas for steps 0..k-1 in one batched computation.
+
+    Matches the train-step rng protocol exactly: step i draws
+    ra = split(fold_in(rng, i), 3)[0], so a step consuming these deltas
+    sees bit-identical views to one calling paired_augment inline.
+    Chunked via lax.map (vmap width `chunk`) to bound the batched
+    compare-count intermediates' memory."""
+
+    def one(i):
+        ra = jax.random.split(jax.random.fold_in(rng, i), 3)[0]
+        vi, vj = paired_augment(batch, ra, kind, **kwargs)
+        return view_delta(vi), view_delta(vj)
+
+    idx = jnp.arange(k, dtype=jnp.int32)
+    if k > chunk and k % chunk == 0:
+        out = jax.lax.map(jax.vmap(one), idx.reshape(k // chunk, chunk))
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((k,) + x.shape[2:]), out)
+    return jax.vmap(one)(idx)

@@ -164,7 +164,8 @@ def build_dp_multi_step_resident(model, tx, mesh: Mesh, *,
                                  axis: str = "data", tile: int = 0,
                                  bond_window: int = 0,
                                  ntxent_impl: str = "xla",
-                                 ntxent_interpret: bool = False):
+                                 ntxent_interpret: bool = False,
+                                 aug_precompute: bool = True):
     """Scan-folded DP dispatch over the DEVICE-RESIDENT sharded batch
     cache: (state, stack, idxs, rng) -> (state, losses[S]).
 
@@ -184,12 +185,53 @@ def build_dp_multi_step_resident(model, tx, mesh: Mesh, *,
     def local_multi(state, stack, idxs, rng):
         local = jax.tree_util.tree_map(lambda x: x[0], stack)  # [S_tot,...]
         my_idxs = idxs[0]                                      # [S]
+        n = my_idxs.shape[0]
+        get_batch = lambda i: jax.tree_util.tree_map(
+            lambda x: x[my_idxs[i]], local)
+
+        if aug_precompute and aug != "none":
+            # batched per-dispatch augmentation (see train/pretrain.py
+            # _deltas_for): same per-device rng contract as local_step
+            from molclr_tpu.data.augment import (
+                apply_view_delta,
+                view_delta,
+            )
+
+            dev = jax.lax.axis_index(axis)
+            start = state.step
+
+            def one(i):
+                b = get_batch(i)
+                ra = jax.random.split(jax.random.fold_in(
+                    jax.random.fold_in(rng, start + i), dev), 3)[0]
+                vi, vj = paired_augment(b, ra, aug, tile=tile,
+                                        bond_window=bond_window)
+                return view_delta(vi), view_delta(vj)
+
+            idx = jnp.arange(n, dtype=jnp.int32)
+            chunk = 16
+            if n > chunk and n % chunk == 0:
+                deltas = jax.tree_util.tree_map(
+                    lambda x: x.reshape((n,) + x.shape[2:]),
+                    jax.lax.map(jax.vmap(one),
+                                idx.reshape(n // chunk, chunk)))
+            else:
+                deltas = jax.vmap(one)(idx)
+
+            def body(s, i):
+                b = get_batch(i)
+                di, dj = jax.tree_util.tree_map(lambda x: x[i], deltas)
+                return step(s, b, rng,
+                            (apply_view_delta(b, di),
+                             apply_view_delta(b, dj)))
+
+            return jax.lax.scan(body, state, idx)
 
         def body(s, i):
-            batch = jax.tree_util.tree_map(lambda x: x[i], local)
-            return step(s, batch, rng)
+            return step(s, get_batch(i), rng)
 
-        return jax.lax.scan(body, state, my_idxs)
+        return jax.lax.scan(body, state,
+                            jnp.arange(n, dtype=jnp.int32))
 
     a = P(mesh.axis_names[0])
     sharded = shard_map(

@@ -87,6 +87,14 @@ class PretrainConfig:
                                     # measured 0.26 vs 0.56 s on the 50k
                                     # demo)
                                     # (amortizes dispatch overhead; 1 = off)
+    aug_precompute: bool = True     # scan-folded dispatches compute ALL
+                                    # steps' paired augmentations in one
+                                    # batched op up front (augmentation is
+                                    # state-independent and overhead-bound
+                                    # in-step: ~0.29 ms of the 1.88 ms
+                                    # B=512 step on v5e); the scan body
+                                    # indexes ~95 KB deltas per view.
+                                    # Bit-identical numerics to inline.
     fresh_compositions: bool = True # resident-cache epochs re-draw batch
                                     # MEMBERSHIP every epoch (reference
                                     # DataLoader reshuffle semantics,

@@ -217,11 +217,14 @@ class Pretrainer:
         else:
             raise ValueError(f"unknown ntxent_impl {cfg.ntxent_impl!r}")
 
-        def loss_fn(params, batch_stats, batch, rng):
+        def loss_fn(params, batch_stats, batch, rng, views=None):
             rng_aug, rng_di, rng_dj = jax.random.split(rng, 3)
-            vi, vj = paired_augment(batch, rng_aug, cfg.aug,
-                                    tile=cfg.model.tile,
-                                    bond_window=bond_window)
+            if views is not None:
+                vi, vj = views
+            else:
+                vi, vj = paired_augment(batch, rng_aug, cfg.aug,
+                                        tile=cfg.model.tile,
+                                        bond_window=bond_window)
             if cfg.concat_views:
                 from molclr_tpu.data.graphs import concat_views
 
@@ -248,11 +251,11 @@ class Pretrainer:
                              pair_mask=batch.graph_mask)
             return loss, upd["batch_stats"]
 
-        def train_step(state, batch, rng):
+        def train_step(state, batch, rng, views=None):
             rng = jax.random.fold_in(rng, state.step)
             (loss, new_stats), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, state.batch_stats,
-                                       batch, rng)
+                                       batch, rng, views)
             if cfg.data_axis:
                 grads = jax.lax.pmean(grads, cfg.data_axis)
             updates, opt_state = self.tx.update(grads, state.opt_state,
@@ -262,10 +265,63 @@ class Pretrainer:
             return TrainState(params=params, batch_stats=new_stats,
                               opt_state=opt_state, step=state.step + 1), loss
 
+        from molclr_tpu.data.augment import (
+            apply_view_delta,
+            precompute_paired_deltas,  # noqa: F401 (bench parity import)
+            view_delta,
+        )
+
+        aug_pre = cfg.aug_precompute and cfg.aug != "none"
+
+        def _deltas_for(get_batch, n, start_step, rng):
+            """Both views' augmented-field deltas for scan steps 0..n-1 in
+            one batched (chunk-vmapped) computation — augmentation is
+            train-state independent, and in-step it is overhead-bound
+            (~0.40 ms standalone vs ~0.29 ms marginal at B=512 on v5e;
+            runs/r4_experiments.json A). The rng protocol matches
+            train_step exactly: step i augments with
+            split(fold_in(rng, start_step + i), 3)[0]."""
+
+            def one(i):
+                b = get_batch(i)
+                ra = jax.random.split(
+                    jax.random.fold_in(rng, start_step + i), 3)[0]
+                vi, vj = paired_augment(b, ra, cfg.aug,
+                                        tile=cfg.model.tile,
+                                        bond_window=bond_window)
+                return view_delta(vi), view_delta(vj)
+
+            idx = jnp.arange(n, dtype=jnp.int32)
+            chunk = 16
+            if n > chunk and n % chunk == 0:
+                out = jax.lax.map(jax.vmap(one),
+                                  idx.reshape(n // chunk, chunk))
+                return jax.tree_util.tree_map(
+                    lambda x: x.reshape((n,) + x.shape[2:]), out)
+            return jax.vmap(one)(idx)
+
+        def _scan_with_deltas(state, get_batch, n, rng):
+            deltas = _deltas_for(get_batch, n, state.step, rng)
+
+            def body(st, i):
+                b = get_batch(i)
+                di, dj = jax.tree_util.tree_map(lambda x: x[i], deltas)
+                views = (apply_view_delta(b, di), apply_view_delta(b, dj))
+                return train_step(st, b, rng, views)
+
+            return jax.lax.scan(body, state,
+                                jnp.arange(n, dtype=jnp.int32))
+
         def multi_step(state, stacked_batches, rng):
             """S train steps in one dispatch: real data per step via a scan
             over the stacked batch axis (amortizes the per-dispatch overhead
             of the TPU runtime)."""
+            if aug_pre:
+                n = jax.tree_util.tree_leaves(
+                    stacked_batches)[0].shape[0]
+                get_batch = lambda i: jax.tree_util.tree_map(
+                    lambda x: x[i], stacked_batches)
+                return _scan_with_deltas(state, get_batch, n, rng)
             return jax.lax.scan(
                 lambda s, b: train_step(s, b, rng), state, stacked_batches)
 
@@ -274,10 +330,17 @@ class Pretrainer:
             whole epoch's packed batches stacked on HBM; `idxs` selects this
             dispatch's (shuffled) batches. No host->device data movement per
             step — the epoch's only uploads are the index vectors."""
+            get_batch = lambda i: jax.tree_util.tree_map(
+                lambda x: x[idxs[i]], stack)
+            if aug_pre:
+                return _scan_with_deltas(state, get_batch,
+                                         idxs.shape[0], rng)
+
             def body(s, i):
-                b = jax.tree_util.tree_map(lambda x: x[i], stack)
-                return train_step(s, b, rng)
-            return jax.lax.scan(body, state, idxs)
+                return train_step(s, get_batch(i), rng)
+            return jax.lax.scan(body, state,
+                                jnp.arange(idxs.shape[0],
+                                           dtype=jnp.int32))
 
         def multi_step_units(state, ustack, idx_mat, rng):
             """Scan over a [F, T] unit-index matrix: each step regroups T
@@ -288,10 +351,17 @@ class Pretrainer:
             host traffic beyond the index matrix."""
             from molclr_tpu.data.regroup import concat_units
 
-            def body(st, row):
-                return train_step(st, concat_units(ustack, row), rng)
+            get_batch = lambda i: concat_units(ustack, idx_mat[i])
+            if aug_pre:
+                return _scan_with_deltas(state, get_batch,
+                                         idx_mat.shape[0], rng)
 
-            return jax.lax.scan(body, state, idx_mat)
+            def body(st, i):
+                return train_step(st, get_batch(i), rng)
+
+            return jax.lax.scan(body, state,
+                                jnp.arange(idx_mat.shape[0],
+                                           dtype=jnp.int32))
 
         def eval_multi(state, stack, rng):
             """All validation batches in one dispatch over the device-

@@ -380,3 +380,65 @@ class TestPairedBatchedBfs:
                 np.testing.assert_array_equal(
                     np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
                     err_msg=f"{kind} {f} tile={tile}")
+
+
+class TestPrecomputedDeltas:
+    """Batched per-dispatch augmentation (precompute_paired_deltas) must
+    produce BIT-IDENTICAL views to the inline per-step calls, for every
+    augmentation kind (the train-step rng protocol is part of the
+    contract)."""
+
+    @staticmethod
+    def _batch():
+        spec = PadSpec(n_graphs=6, n_nodes=128, n_edges=224, max_degree=6,
+                       tile=32, max_graph_bonds=16)
+        return pack_batch([featurize_smiles(s) for s in SMILES], spec), \
+            spec
+
+    def test_deltas_match_inline_views(self):
+        import jax
+
+        from molclr_tpu.data.augment import (
+            AUG_DELTA_FIELDS,
+            apply_view_delta,
+            paired_augment,
+            precompute_paired_deltas,
+        )
+
+        batch, spec = self._batch()
+        rng = jax.random.PRNGKey(42)
+        k = 4
+        for kind in ("node", "subgraph", "mix"):
+            deltas = precompute_paired_deltas(
+                batch, rng, k, kind, tile=spec.tile,
+                bond_window=spec.max_graph_bonds)
+            for i in range(k):
+                ra = jax.random.split(jax.random.fold_in(rng, i), 3)[0]
+                vi, vj = paired_augment(batch, ra, kind, tile=spec.tile,
+                                        bond_window=spec.max_graph_bonds)
+                di, dj = jax.tree_util.tree_map(
+                    lambda x: x[i], deltas)
+                for want, got_delta in ((vi, di), (vj, dj)):
+                    got = apply_view_delta(batch, got_delta)
+                    for f in AUG_DELTA_FIELDS:
+                        np.testing.assert_array_equal(
+                            np.asarray(getattr(got, f)),
+                            np.asarray(getattr(want, f)),
+                            err_msg=f"{kind} step {i} field {f}")
+
+    def test_chunked_equals_unchunked(self):
+        import jax
+
+        from molclr_tpu.data.augment import precompute_paired_deltas
+
+        batch, spec = self._batch()
+        rng = jax.random.PRNGKey(7)
+        a = precompute_paired_deltas(batch, rng, 8, "node", chunk=4,
+                                     tile=spec.tile,
+                                     bond_window=spec.max_graph_bonds)
+        b = precompute_paired_deltas(batch, rng, 8, "node", chunk=16,
+                                     tile=spec.tile,
+                                     bond_window=spec.max_graph_bonds)
+        for x, y in zip(jax.tree_util.tree_leaves(a),
+                        jax.tree_util.tree_leaves(b)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -166,3 +166,30 @@ class TestPretrainerFreshCompositions:
         assert pre._unit_stack is None
         assert pre._device_stack is not None
         assert all(np.isfinite(h["train_loss"]) for h in history)
+
+
+class TestAugPrecompute:
+    def test_trajectory_identical_on_vs_off(self, tmp_path):
+        """aug_precompute batches the scan's augmentations up front; the
+        rng protocol contract makes per-step losses BIT-identical to the
+        inline path, across host-streaming, resident and units epochs."""
+        from molclr_tpu.train.config import ModelConfig, PretrainConfig
+        from molclr_tpu.train.pretrain import Pretrainer
+
+        losses = {}
+        for pre in (True, False):
+            cfg = PretrainConfig(
+                batch_size=48, epochs=3, warm_up=1, aug="node",
+                valid_size=0.1, seed=0, featurize_processes=0,
+                eval_every_epochs=100, save_every_epochs=100,
+                ckpt_dir=str(tmp_path / f"pre{pre}"), device_cache_mb=512,
+                aug_precompute=pre,
+                model=ModelConfig(gnn_type="gin", num_layers=2, emb_dim=32,
+                                  feat_dim=64, tile=TILE, drop_ratio=0.0))
+            smiles = synthetic_corpus(400, seed=9)
+            p = Pretrainer(cfg).setup_data(smiles)
+            p.setup_state(next(iter(p.train_iter))[0])
+            history = p.train(log=lambda *_: None)
+            losses[pre] = [h["train_loss"] for h in history]
+        np.testing.assert_allclose(losses[True], losses[False],
+                                   rtol=1e-6, atol=1e-7)

@@ -63,18 +63,23 @@ def _make_local_step(model, tx, *, aug, temperature, use_cosine, axis,
                      ntxent_interpret=False):
     """Per-device train step body shared by the one-shot and the
     device-resident multi-step DP paths. `batch` is this device's LOCAL
-    GraphBatch (no leading device axis); must run inside shard_map."""
+    GraphBatch (no leading device axis); must run inside shard_map.
+    `views` (optional) carries precomputed augmented views (the batched
+    per-dispatch augmentation of train/pretrain.py, same rng contract)."""
 
     ntxent = resolve_ntxent(ntxent_impl, ntxent_interpret)
 
-    def local_step(state, batch, rng):
+    def local_step(state, batch, rng, views=None):
         dev = jax.lax.axis_index(axis)
         rng = jax.random.fold_in(jax.random.fold_in(rng, state.step), dev)
 
         def loss_fn(params, batch_stats):
             rng_aug, rng_di, rng_dj = jax.random.split(rng, 3)
-            vi, vj = paired_augment(batch, rng_aug, aug, tile=tile,
-                                    bond_window=bond_window)
+            if views is not None:
+                vi, vj = views
+            else:
+                vi, vj = paired_augment(batch, rng_aug, aug, tile=tile,
+                                        bond_window=bond_window)
             (_, zi), upd = model.apply(
                 {"params": params, "batch_stats": batch_stats}, vi,
                 train=True, rngs={"dropout": rng_di},

@@ -707,14 +707,19 @@ def apply_view_delta(batch, delta):
 
 
 def precompute_paired_deltas(batch, rng, k: int, kind: str,
-                             chunk: int = 16, **kwargs):
+                             chunk: int = 0, **kwargs):
     """Both views' deltas for steps 0..k-1 in one batched computation.
 
     Matches the train-step rng protocol exactly: step i draws
     ra = split(fold_in(rng, i), 3)[0], so a step consuming these deltas
     sees bit-identical views to one calling paired_augment inline.
     Chunked via lax.map (vmap width `chunk`) to bound the batched
-    compare-count intermediates' memory."""
+    intermediates' memory; chunk=0 auto-picks 16 for node and 4 for the
+    BFS kinds (subgraph/mix), whose vmapped [T, stride*tile, tile]
+    adjacency-power stacks are ~50x larger per step than node's
+    compare-counts."""
+    if chunk <= 0:
+        chunk = 4 if kind in ("subgraph", "mix") else 16
 
     def one(i):
         ra = jax.random.split(jax.random.fold_in(rng, i), 3)[0]

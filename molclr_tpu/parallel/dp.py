@@ -214,7 +214,7 @@ def build_dp_multi_step_resident(model, tx, mesh: Mesh, *,
                 return view_delta(vi), view_delta(vj)
 
             idx = jnp.arange(n, dtype=jnp.int32)
-            chunk = 16
+            chunk = 4 if aug in ("subgraph", "mix") else 16
             if n > chunk and n % chunk == 0:
                 deltas = jax.tree_util.tree_map(
                     lambda x: x.reshape((n,) + x.shape[2:]),

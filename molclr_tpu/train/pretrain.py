@@ -292,7 +292,7 @@ class Pretrainer:
                 return view_delta(vi), view_delta(vj)
 
             idx = jnp.arange(n, dtype=jnp.int32)
-            chunk = 16
+            chunk = 4 if cfg.aug in ("subgraph", "mix") else 16
             if n > chunk and n % chunk == 0:
                 out = jax.lax.map(jax.vmap(one),
                                   idx.reshape(n // chunk, chunk))

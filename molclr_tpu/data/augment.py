@@ -241,13 +241,15 @@ def _flag_at_ids_tile(flag, ids, valid, tile: int):
     block table has N/tile ~ 22 rows — small-table gathers are free, like
     the [G=512] graph-table gathers) and one-hot compare the local
     offset. Invalid rows are routed to id 0 first (jnp.take's
-    out-of-bounds mode here is NaN-fill, not clip)."""
+    out-of-bounds mode here is NaN-fill, not clip). bf16 is EXACT here:
+    products are {0,1} and row sums are <= tile=256 = 2^8, within bf16's
+    8 explicit mantissa bits."""
     ids = jnp.where(valid, ids, 0)
     t = flag.shape[0] // tile
-    fb = jnp.take(flag.reshape(t, tile).astype(jnp.float32),
+    fb = jnp.take(flag.reshape(t, tile).astype(jnp.bfloat16),
                   ids // tile, axis=0)                       # [B, tile]
-    oh = jax.nn.one_hot(ids % tile, tile, dtype=jnp.float32)
-    return (oh * fb).sum(axis=1) > 0.5
+    oh = jax.nn.one_hot(ids % tile, tile, dtype=jnp.bfloat16)
+    return (oh * fb).sum(axis=1, dtype=jnp.float32) > 0.5
 
 
 def _flag_at_nbr_tile(flag, nbr, tile: int):
@@ -263,13 +265,14 @@ def _flag_at_nbr_tile(flag, nbr, tile: int):
     t = n // tile
     base = (jnp.arange(n, dtype=jnp.int32) // tile) * tile
     local = nbr - base[:, None]
+    # bf16 is exact: {0,1} products, row sums <= tile=256 = 2^8
     fb = jnp.broadcast_to(
-        flag.reshape(t, 1, tile).astype(jnp.float32),
+        flag.reshape(t, 1, tile).astype(jnp.bfloat16),
         (t, tile, tile)).reshape(n, tile)
     cols = []
     for k in range(k_slots):
-        oh = jax.nn.one_hot(local[:, k], tile, dtype=jnp.float32)
-        cols.append((oh * fb).sum(axis=1))
+        oh = jax.nn.one_hot(local[:, k], tile, dtype=jnp.bfloat16)
+        cols.append((oh * fb).sum(axis=1, dtype=jnp.float32))
     return jnp.stack(cols, axis=1) > 0.5           # [N, K] bool
 
 

@@ -698,6 +698,10 @@ class Pretrainer:
             return False
         self._unit_stack = jax.device_put(stack)
         self._n_units, self._units_per_batch = u, t
+        # the baked LR schedule's epoch length: every epoch runs EXACTLY
+        # this many steps (the permutation's surplus rows — at most
+        # t-1 units' worth — rotate out per epoch)
+        self._units_s_epoch = s_epoch
         self._device_cache_used_mb += total_mb
         # throughput accounting: per-step real content is T/U of the corpus
         n_edges = sum(int(g.edge_src.shape[0]) for g in graphs)
@@ -810,7 +814,7 @@ class Pretrainer:
 
                     orders = epoch_unit_orders(
                         self._n_units, self._units_per_batch, cfg.seed,
-                        epoch)
+                        epoch)[: self._units_s_epoch]
                     fold = (orders.shape[0] if auto_fold
                             else max(1, cfg.steps_per_dispatch))
                     for lo in range(0, orders.shape[0], fold):

@@ -134,13 +134,18 @@ class TestPretrainerFreshCompositions:
             ckpt_dir=str(tmp_path / "pre"), device_cache_mb=512,
             model=ModelConfig(gnn_type="gin", num_layers=2, emb_dim=32,
                               feat_dim=64, tile=TILE, drop_ratio=0.0))
-        smiles = synthetic_corpus(400, seed=9)
+        # 430 molecules: the unit count does NOT divide evenly by the
+        # epoch length, so this also pins the steps-per-epoch truncation
+        # (a 300-mol CLI probe caught epoch 1 running 11 steps vs 8)
+        smiles = synthetic_corpus(430, seed=9)
         pre = Pretrainer(cfg).setup_data(smiles)
         pre.setup_state(next(iter(pre.train_iter))[0])
         s_epoch = len(pre.train_iter)
         history = pre.train(log=lambda *_: None)
         assert pre._unit_stack is not None, "units path did not activate"
         assert pre._units_per_batch >= 1
+        assert pre._n_units % s_epoch != 0, \
+            "corpus accidentally divisible; test would not pin truncation"
         # schedule contract: steps per epoch unchanged by the units path
         assert all(h["steps"] == s_epoch for h in history)
         losses = [h["train_loss"] for h in history]

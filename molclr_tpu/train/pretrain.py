@@ -145,6 +145,13 @@ class Pretrainer:
         stats = variables.get("batch_stats", {})
         self._start_epoch = 0
         steps_per_epoch = max(1, len(self.train_iter))
+        if cfg.data_axis:
+            # one DP OPTIMIZER step consumes a device-group of batches:
+            # the schedule must count optimizer steps, not batches, or the
+            # cosine phase advances n_dev x too slowly on a pod (epoch
+            # boundaries are drop_last at device-group granularity)
+            steps_per_epoch = max(1, steps_per_epoch // jax.device_count())
+        self._sched_steps_per_epoch = steps_per_epoch
         self.schedule = warmup_then_cosine(cfg.init_lr, steps_per_epoch,
                                            cfg.epochs, cfg.warm_up)
         if cfg.adam_impl == "fused":

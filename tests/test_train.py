@@ -535,3 +535,39 @@ class TestSyntheticFallbackGuard:
                 "scratch_BBBP_finetune.csv").read_text().splitlines()
         assert rows[0].endswith(",synthetic=true")
         assert "synthetic" not in rows[1]
+
+
+class TestDpScheduleSteps:
+    def test_dp_schedule_counts_optimizer_steps(self, tmp_path):
+        """Under data parallelism one optimizer step consumes n_dev
+        batches; the baked warm-up+cosine schedule must count OPTIMIZER
+        steps, or a pod's cosine phase advances n_dev x too slowly
+        (caught r4: steps_per_epoch used the batch count)."""
+        import jax
+
+        from molclr_tpu.data.synthetic import synthetic_corpus
+
+        smiles = synthetic_corpus(400, seed=4)
+        lrs = {}
+        for axis in ("", "data"):
+            cfg = PretrainConfig(batch_size=8, epochs=4, warm_up=1,
+                                 model=SMALL, aug="node", valid_size=0.1,
+                                 ckpt_dir=str(tmp_path / f"dp{bool(axis)}"),
+                                 seed=0, featurize_processes=0,
+                                 data_axis=axis)
+            pre = Pretrainer(cfg).setup_data(smiles)
+            pre.setup_state(next(iter(pre.train_iter))[0])
+            spe = pre._sched_steps_per_epoch
+            if axis:
+                assert spe == max(1, len(pre.train_iter)
+                                  // jax.device_count())
+            else:
+                assert spe == len(pre.train_iter)
+            # per-epoch LR trajectory in OPTIMIZER-step units
+            lrs[axis or "single"] = [float(pre.schedule(spe * k))
+                                     for k in range(4)]
+        # identical cosine phase per epoch regardless of parallelism
+        np.testing.assert_allclose(lrs["data"], lrs["single"], rtol=1e-6)
+        # and the phase actually decays over the run (epoch 3 of 4 with
+        # warm_up 1 sits at 0.25 x base)
+        assert lrs["single"][-1] < 0.3 * 5e-4

@@ -5,9 +5,11 @@ single-device (SURVEY §2.5); everything here is net-new TPU design."""
 
 from molclr_tpu.parallel.dp import (
     build_dp_multi_step_resident,
+    build_dp_multi_step_units,
     build_dp_pretrain_step,
     make_mesh,
     shard_batch_cache,
+    shard_unit_stack,
     stack_batches,
 )
 from molclr_tpu.parallel.multihost import (
@@ -26,6 +28,8 @@ from molclr_tpu.parallel.partition import (
 
 __all__ = [
     "build_dp_multi_step_resident",
+    "build_dp_multi_step_units",
+    "shard_unit_stack",
     "build_dp_pretrain_step",
     "assemble_rows",
     "build_partitioned_pretrain_step",

@@ -245,3 +245,107 @@ def build_dp_multi_step_resident(model, tx, mesh: Mesh, *,
         out_specs=(P(), P()),
         check_vma=False)
     return jax.jit(sharded, donate_argnums=(0,))
+
+
+def shard_unit_stack(stack, mesh: Mesh, axis: str = "data"):
+    """Distribute a [U, ...] tile-unit stack (data/regroup.py) across the
+    mesh: [n_dev, U_local, ...] sharded on the leading device axis.
+    Device d owns units [d*U_local, (d+1)*U_local); the U % n_dev
+    remainder is dropped (drop_last at unit granularity). Returns
+    (sharded_stack, u_local, n_dropped)."""
+    from jax.sharding import NamedSharding
+
+    n_dev = mesh.shape[axis]
+    u = jax.tree_util.tree_leaves(stack)[0].shape[0]
+    u_local = u // n_dev
+    if u_local == 0:
+        raise ValueError(f"{u} units < {n_dev} devices")
+    sharding = NamedSharding(mesh, P(axis))
+    out = jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            np.asarray(x)[: u_local * n_dev].reshape(
+                (n_dev, u_local) + x.shape[1:]), sharding), stack)
+    return out, u_local, u - u_local * n_dev
+
+
+def build_dp_multi_step_units(model, tx, mesh: Mesh, *,
+                              aug: str = "node", temperature: float = 0.1,
+                              use_cosine: bool = True,
+                              axis: str = "data", tile: int = 0,
+                              bond_window: int = 0,
+                              ntxent_impl: str = "xla",
+                              ntxent_interpret: bool = False,
+                              aug_precompute: bool = True):
+    """DP fresh-composition epochs: (state, sharded_unit_stack, idx_mat,
+    rng) -> (state, losses[S]). `idx_mat` is [n_dev, S, T] — per-device,
+    per-step unit selections; each device regroups T of ITS OWN tile-
+    units into a fresh local batch ON-DEVICE (data/regroup.concat_units)
+    every step, so batch membership re-draws per epoch at unit
+    granularity with zero host traffic beyond the index tensor — the DP
+    analog of the single-chip units path (reference DataLoader reshuffle
+    semantics)."""
+    if tile <= 0:
+        raise ValueError("fresh-composition DP epochs need tile > 0")
+    step = _make_local_step(model, tx, aug=aug, temperature=temperature,
+                            use_cosine=use_cosine, axis=axis, tile=tile,
+                            bond_window=bond_window,
+                            ntxent_impl=ntxent_impl,
+                            ntxent_interpret=ntxent_interpret)
+
+    def local_multi(state, ustack, idx_mat, rng):
+        from molclr_tpu.data.regroup import concat_units
+
+        units = jax.tree_util.tree_map(lambda x: x[0], ustack)
+        my_idx = idx_mat[0]                          # [S, T]
+        n = my_idx.shape[0]
+        get_batch = lambda i: concat_units(units, my_idx[i])
+
+        if aug_precompute and aug != "none":
+            from molclr_tpu.data.augment import (
+                apply_view_delta,
+                view_delta,
+            )
+
+            dev = jax.lax.axis_index(axis)
+            start = state.step
+
+            def one(i):
+                b = get_batch(i)
+                ra = jax.random.split(jax.random.fold_in(
+                    jax.random.fold_in(rng, start + i), dev), 3)[0]
+                vi, vj = paired_augment(b, ra, aug, tile=tile,
+                                        bond_window=bond_window)
+                return view_delta(vi), view_delta(vj)
+
+            idx = jnp.arange(n, dtype=jnp.int32)
+            chunk = 4 if aug in ("subgraph", "mix") else 16
+            if n > chunk and n % chunk == 0:
+                deltas = jax.tree_util.tree_map(
+                    lambda x: x.reshape((n,) + x.shape[2:]),
+                    jax.lax.map(jax.vmap(one),
+                                idx.reshape(n // chunk, chunk)))
+            else:
+                deltas = jax.vmap(one)(idx)
+
+            def body(s, i):
+                b = get_batch(i)
+                di, dj = jax.tree_util.tree_map(lambda x: x[i], deltas)
+                return step(s, b, rng,
+                            (apply_view_delta(b, di),
+                             apply_view_delta(b, dj)))
+
+            return jax.lax.scan(body, state, idx)
+
+        def body(s, i):
+            return step(s, get_batch(i), rng)
+
+        return jax.lax.scan(body, state,
+                            jnp.arange(n, dtype=jnp.int32))
+
+    a = P(mesh.axis_names[0])
+    sharded = shard_map(
+        local_multi, mesh=mesh,
+        in_specs=(P(), a, a, P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(sharded, donate_argnums=(0,))

@@ -421,6 +421,19 @@ class Pretrainer:
                 use_cosine=cfg.use_cosine_similarity, axis=cfg.data_axis,
                 tile=cfg.model.tile, bond_window=bond_window,
                 ntxent_impl=cfg.ntxent_impl)
+            if cfg.model.tile > 0:
+                from molclr_tpu.parallel import build_dp_multi_step_units
+
+                self._dp_multi_units = build_dp_multi_step_units(
+                    model, self.tx, self.mesh, aug=cfg.aug,
+                    temperature=cfg.temperature,
+                    use_cosine=cfg.use_cosine_similarity,
+                    axis=cfg.data_axis, tile=cfg.model.tile,
+                    bond_window=bond_window,
+                    ntxent_impl=cfg.ntxent_impl,
+                    aug_precompute=cfg.aug_precompute)
+            else:
+                self._dp_multi_units = None
             self._train_step = None
             self._multi_step = None
         else:
@@ -449,6 +462,7 @@ class Pretrainer:
         self._unit_stack = None
         self._n_units = 0
         self._units_per_batch = 0
+        self._dp_unit_stack = None
         self._dp_shard_size = 0
         self._device_cache_used_mb = 0.0
 
@@ -624,6 +638,13 @@ class Pretrainer:
                 and cfg.model.tile > 0):
             if self._maybe_upload_units(log):
                 return
+        if (cfg.fresh_compositions and cfg.data_axis
+                and cfg.model.tile > 0 and jax.process_count() == 1
+                and self._dp_multi_units is not None):
+            # multi-process pods keep the frozen global cache (per-process
+            # unit packing + global index assembly not wired yet)
+            if self._maybe_upload_units_dp(log):
+                return
         batches = [gb for gb, _, _ in cache]
         per = sum(np.asarray(x).nbytes
                   for x in jax.tree_util.tree_leaves(batches[0]))
@@ -721,6 +742,57 @@ class Pretrainer:
             f"on-device")
         return True
 
+    def _maybe_upload_units_dp(self, log) -> bool:
+        """DP analog of _maybe_upload_units: shard the tile-unit stack
+        across the mesh; every epoch each device regroups fresh batches
+        from ITS OWN units (build_dp_multi_step_units). Units per device
+        per step = U_local // optimizer-steps-per-epoch, so the baked LR
+        schedule's epoch length is unchanged."""
+        cfg = self.cfg
+        from molclr_tpu.data.regroup import pack_unit_stack
+        from molclr_tpu.parallel import shard_unit_stack
+
+        graphs = self.train_iter.graphs
+        try:
+            stack, uspec, units = pack_unit_stack(
+                graphs, cfg.model.tile, cfg.max_degree, seed=cfg.seed)
+        except ValueError as e:
+            log(f"DP fresh-compositions unit packing unavailable ({e}); "
+                f"falling back to the frozen sharded cache")
+            return False
+        u = len(units)
+        n_dev = self.mesh.shape[cfg.data_axis]
+        s_dp = self._sched_steps_per_epoch
+        t = (u // n_dev) // max(1, s_dp)
+        if t < 1:
+            log(f"{u} tile-units over {n_dev} devices < {s_dp} "
+                f"steps/epoch; falling back to the frozen sharded cache")
+            return False
+        total_mb = sum(x.nbytes for x in
+                       jax.tree_util.tree_leaves(stack)) / 2**20
+        if (self._device_cache_used_mb + total_mb / n_dev
+                > cfg.device_cache_mb):
+            log(f"tile-unit stack {total_mb / n_dev:.0f} MB/device "
+                f"exceeds device_cache_mb={cfg.device_cache_mb}; "
+                f"staying host-side")
+            return False
+        self._dp_unit_stack, u_local, dropped = shard_unit_stack(
+            stack, self.mesh, cfg.data_axis)
+        self._dp_units_local = u_local
+        self._dp_units_per_batch = t
+        self._dp_units_s_epoch = s_dp
+        self._device_cache_used_mb += total_mb / n_dev
+        n_edges = sum(int(g.edge_src.shape[0]) for g in graphs)
+        n_nodes = sum(int(g.n_atoms) for g in graphs)
+        self._mean_real_edges = n_edges * (n_dev * t) / u
+        self._mean_real_nodes = n_nodes * (n_dev * t) / u
+        log(f"uploaded {u_local * n_dev}-unit stack sharded over "
+            f"{n_dev} devices ({total_mb / n_dev:.0f} MB/device, "
+            f"{t} units x {cfg.model.tile} nodes per device-step, "
+            f"{s_dp} steps/epoch); DP epochs re-draw batch compositions "
+            f"on-device{f' ({dropped} remainder units dropped)' if dropped else ''}")
+        return True
+
     def _dp_epoch_orders(self):
         """Per-device local batch orders [n_dev, S] for one epoch over the
         sharded cache, derived from the iterator's global shuffle stream
@@ -813,7 +885,30 @@ class Pretrainer:
                 t0 = time.time()
                 losses = []
                 pending = []
-                if self._unit_stack is not None:
+                if self._dp_unit_stack is not None:
+                    # DP fresh-composition epoch: per-device unit
+                    # selections, one [n_dev, S, T] index upload per
+                    # dispatch
+                    from molclr_tpu.data.regroup import epoch_unit_orders
+
+                    n_dev = self.mesh.shape[cfg.data_axis]
+                    per_dev = np.stack([
+                        epoch_unit_orders(
+                            self._dp_units_local,
+                            self._dp_units_per_batch,
+                            cfg.seed + 104729 * (d + 1), epoch,
+                        )[: self._dp_units_s_epoch]
+                        for d in range(n_dev)])      # [n_dev, S, T]
+                    fold = (per_dev.shape[1] if auto_fold
+                            else max(1, cfg.steps_per_dispatch))
+                    for lo in range(0, per_dev.shape[1], fold):
+                        idxs = jnp.asarray(per_dev[:, lo : lo + fold])
+                        self.state, loss_arr = self._dp_multi_units(
+                            self.state, self._dp_unit_stack, idxs, rng)
+                        losses.extend(float(x)
+                                      for x in np.asarray(loss_arr))
+                    self._log_step(log, epoch, losses, cfg)
+                elif self._unit_stack is not None:
                     # fresh-composition resident epoch: scan-folded
                     # dispatches regroup tile-units on-device; only the
                     # [S, T] unit-index matrix is uploaded per epoch

@@ -198,3 +198,33 @@ class TestAugPrecompute:
             losses[pre] = [h["train_loss"] for h in history]
         np.testing.assert_allclose(losses[True], losses[False],
                                    rtol=1e-6, atol=1e-7)
+
+
+class TestDpFreshCompositions:
+    def test_dp_resident_epochs_use_units_and_learn(self, tmp_path):
+        """DP fresh compositions: after epoch 0 the Pretrainer shards the
+        tile-unit stack over the mesh; later epochs regroup per-device
+        ON-DEVICE, keep the optimizer-step epoch length, and learn."""
+        from molclr_tpu.train.config import ModelConfig, PretrainConfig
+        from molclr_tpu.train.pretrain import Pretrainer
+
+        cfg = PretrainConfig(
+            batch_size=8, epochs=3, warm_up=1, aug="node",
+            valid_size=0.1, seed=0, featurize_processes=0,
+            eval_every_epochs=100, save_every_epochs=100,
+            ckpt_dir=str(tmp_path / "dpu"), device_cache_mb=512,
+            data_axis="data",
+            model=ModelConfig(gnn_type="gin", num_layers=2, emb_dim=32,
+                              feat_dim=64, tile=TILE, drop_ratio=0.0))
+        smiles = synthetic_corpus(900, seed=9)
+        pre = Pretrainer(cfg).setup_data(smiles)
+        pre.setup_state(next(iter(pre.train_iter))[0])
+        s_dp = pre._sched_steps_per_epoch
+        history = pre.train(log=lambda *_: None)
+        assert pre._dp_unit_stack is not None, \
+            "DP units path did not activate"
+        # epochs after activation run exactly the schedule's step count
+        assert all(h["steps"] == s_dp for h in history[1:])
+        losses = [h["train_loss"] for h in history]
+        assert all(np.isfinite(l) for l in losses)
+        assert losses[-1] < losses[0]

@@ -709,29 +709,50 @@ def apply_view_delta(batch, delta):
     return batch.replace(**dict(zip(AUG_DELTA_FIELDS, delta)))
 
 
-def precompute_paired_deltas(batch, rng, k: int, kind: str,
-                             chunk: int = 0, **kwargs):
-    """Both views' deltas for steps 0..k-1 in one batched computation.
+def precompute_deltas_for(get_batch, rng_for_step, n: int, kind: str,
+                          chunk: int = 0, **kwargs):
+    """General batched-augmentation engine shared by every scan path
+    (bench, Pretrainer host/resident/units, DP resident/units): step i
+    augments get_batch(i) with rng key rng_for_step(i); returns both
+    views' delta tuples stacked on a leading [n] axis.
 
-    Matches the train-step rng protocol exactly: step i draws
-    ra = split(fold_in(rng, i), 3)[0], so a step consuming these deltas
-    sees bit-identical views to one calling paired_augment inline.
     Chunked via lax.map (vmap width `chunk`) to bound the batched
     intermediates' memory; chunk=0 auto-picks 16 for node and 4 for the
     BFS kinds (subgraph/mix), whose vmapped [T, stride*tile, tile]
     adjacency-power stacks are ~50x larger per step than node's
-    compare-counts."""
-    if chunk <= 0:
-        chunk = 4 if kind in ("subgraph", "mix") else 16
+    compare-counts. A non-divisible n runs floor(n/chunk) chunks plus a
+    (< chunk)-wide remainder vmap — NEVER a full-width vmap, which would
+    unbound exactly the memory the chunking exists to bound."""
 
     def one(i):
-        ra = jax.random.split(jax.random.fold_in(rng, i), 3)[0]
-        vi, vj = paired_augment(batch, ra, kind, **kwargs)
+        vi, vj = paired_augment(get_batch(i), rng_for_step(i), kind,
+                                **kwargs)
         return view_delta(vi), view_delta(vj)
 
-    idx = jnp.arange(k, dtype=jnp.int32)
-    if k > chunk and k % chunk == 0:
-        out = jax.lax.map(jax.vmap(one), idx.reshape(k // chunk, chunk))
-        return jax.tree_util.tree_map(
-            lambda x: x.reshape((k,) + x.shape[2:]), out)
-    return jax.vmap(one)(idx)
+    if chunk <= 0:
+        chunk = 4 if kind in ("subgraph", "mix") else 16
+    idx = jnp.arange(n, dtype=jnp.int32)
+    if n <= chunk:
+        return jax.vmap(one)(idx)
+    full = (n // chunk) * chunk
+    out = jax.tree_util.tree_map(
+        lambda x: x.reshape((full,) + x.shape[2:]),
+        jax.lax.map(jax.vmap(one), idx[:full].reshape(-1, chunk)))
+    if full < n:
+        rem = jax.vmap(one)(idx[full:])
+        out = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a, b]), out, rem)
+    return out
+
+
+def precompute_paired_deltas(batch, rng, k: int, kind: str,
+                             chunk: int = 0, **kwargs):
+    """Both views' deltas for steps 0..k-1 over ONE shared base batch.
+
+    Matches the train-step rng protocol exactly: step i draws
+    ra = split(fold_in(rng, i), 3)[0], so a step consuming these deltas
+    sees bit-identical views to one calling paired_augment inline."""
+    return precompute_deltas_for(
+        lambda i: batch,
+        lambda i: jax.random.split(jax.random.fold_in(rng, i), 3)[0],
+        k, kind, chunk=chunk, **kwargs)

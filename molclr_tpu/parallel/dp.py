@@ -195,42 +195,12 @@ def build_dp_multi_step_resident(model, tx, mesh: Mesh, *,
             lambda x: x[my_idxs[i]], local)
 
         if aug_precompute and aug != "none":
-            # batched per-dispatch augmentation (see train/pretrain.py
-            # _deltas_for): same per-device rng contract as local_step
-            from molclr_tpu.data.augment import (
-                apply_view_delta,
-                view_delta,
-            )
-
-            dev = jax.lax.axis_index(axis)
-            start = state.step
-
-            def one(i):
-                b = get_batch(i)
-                ra = jax.random.split(jax.random.fold_in(
-                    jax.random.fold_in(rng, start + i), dev), 3)[0]
-                vi, vj = paired_augment(b, ra, aug, tile=tile,
-                                        bond_window=bond_window)
-                return view_delta(vi), view_delta(vj)
-
-            idx = jnp.arange(n, dtype=jnp.int32)
-            chunk = 4 if aug in ("subgraph", "mix") else 16
-            if n > chunk and n % chunk == 0:
-                deltas = jax.tree_util.tree_map(
-                    lambda x: x.reshape((n,) + x.shape[2:]),
-                    jax.lax.map(jax.vmap(one),
-                                idx.reshape(n // chunk, chunk)))
-            else:
-                deltas = jax.vmap(one)(idx)
-
-            def body(s, i):
-                b = get_batch(i)
-                di, dj = jax.tree_util.tree_map(lambda x: x[i], deltas)
-                return step(s, b, rng,
-                            (apply_view_delta(b, di),
-                             apply_view_delta(b, dj)))
-
-            return jax.lax.scan(body, state, idx)
+            # batched per-dispatch augmentation: same per-device rng
+            # contract as local_step (shared engine, data/augment.py)
+            deltas = _dp_deltas(get_batch, n, state.step, rng, axis, aug,
+                                tile, bond_window)
+            return _scan_with_dp_deltas(step, state, get_batch, deltas,
+                                        n, rng)
 
         def body(s, i):
             return step(s, get_batch(i), rng)
@@ -245,6 +215,34 @@ def build_dp_multi_step_resident(model, tx, mesh: Mesh, *,
         out_specs=(P(), P()),
         check_vma=False)
     return jax.jit(sharded, donate_argnums=(0,))
+
+
+def _dp_deltas(get_batch, n, start_step, rng, axis, aug, tile,
+               bond_window):
+    """Per-device batched augmentation deltas for a DP scan: step i on
+    device d augments with split(fold_in(fold_in(rng, start+i), d), 3)[0]
+    — the exact _make_local_step rng contract. Must run inside
+    shard_map."""
+    from molclr_tpu.data.augment import precompute_deltas_for
+
+    dev = jax.lax.axis_index(axis)
+    return precompute_deltas_for(
+        get_batch,
+        lambda i: jax.random.split(jax.random.fold_in(
+            jax.random.fold_in(rng, start_step + i), dev), 3)[0],
+        n, aug, tile=tile, bond_window=bond_window)
+
+
+def _scan_with_dp_deltas(step, state, get_batch, deltas, n, rng):
+    from molclr_tpu.data.augment import apply_view_delta
+
+    def body(s, i):
+        b = get_batch(i)
+        di, dj = jax.tree_util.tree_map(lambda x: x[i], deltas)
+        return step(s, b, rng,
+                    (apply_view_delta(b, di), apply_view_delta(b, dj)))
+
+    return jax.lax.scan(body, state, jnp.arange(n, dtype=jnp.int32))
 
 
 def shard_unit_stack(stack, mesh: Mesh, axis: str = "data"):
@@ -301,40 +299,10 @@ def build_dp_multi_step_units(model, tx, mesh: Mesh, *,
         get_batch = lambda i: concat_units(units, my_idx[i])
 
         if aug_precompute and aug != "none":
-            from molclr_tpu.data.augment import (
-                apply_view_delta,
-                view_delta,
-            )
-
-            dev = jax.lax.axis_index(axis)
-            start = state.step
-
-            def one(i):
-                b = get_batch(i)
-                ra = jax.random.split(jax.random.fold_in(
-                    jax.random.fold_in(rng, start + i), dev), 3)[0]
-                vi, vj = paired_augment(b, ra, aug, tile=tile,
-                                        bond_window=bond_window)
-                return view_delta(vi), view_delta(vj)
-
-            idx = jnp.arange(n, dtype=jnp.int32)
-            chunk = 4 if aug in ("subgraph", "mix") else 16
-            if n > chunk and n % chunk == 0:
-                deltas = jax.tree_util.tree_map(
-                    lambda x: x.reshape((n,) + x.shape[2:]),
-                    jax.lax.map(jax.vmap(one),
-                                idx.reshape(n // chunk, chunk)))
-            else:
-                deltas = jax.vmap(one)(idx)
-
-            def body(s, i):
-                b = get_batch(i)
-                di, dj = jax.tree_util.tree_map(lambda x: x[i], deltas)
-                return step(s, b, rng,
-                            (apply_view_delta(b, di),
-                             apply_view_delta(b, dj)))
-
-            return jax.lax.scan(body, state, idx)
+            deltas = _dp_deltas(get_batch, n, state.step, rng, axis, aug,
+                                tile, bond_window)
+            return _scan_with_dp_deltas(step, state, get_batch, deltas,
+                                        n, rng)
 
         def body(s, i):
             return step(s, get_batch(i), rng)

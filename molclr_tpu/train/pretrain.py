@@ -149,8 +149,12 @@ class Pretrainer:
             # one DP OPTIMIZER step consumes a device-group of batches:
             # the schedule must count optimizer steps, not batches, or the
             # cosine phase advances n_dev x too slowly on a pod (epoch
-            # boundaries are drop_last at device-group granularity)
-            steps_per_epoch = max(1, steps_per_epoch // jax.device_count())
+            # boundaries are drop_last at device-group granularity).
+            # train_iter is PER-PROCESS (sharded by _process_shard), so
+            # the divisor is the LOCAL device count — dividing by the
+            # global count would undercount by process_count on pods
+            steps_per_epoch = max(
+                1, steps_per_epoch // jax.local_device_count())
         self._sched_steps_per_epoch = steps_per_epoch
         self.schedule = warmup_then_cosine(cfg.init_lr, steps_per_epoch,
                                            cfg.epochs, cfg.warm_up)
@@ -274,8 +278,7 @@ class Pretrainer:
 
         from molclr_tpu.data.augment import (
             apply_view_delta,
-            precompute_paired_deltas,  # noqa: F401 (bench parity import)
-            view_delta,
+            precompute_deltas_for,
         )
 
         aug_pre = cfg.aug_precompute and cfg.aug != "none"
@@ -288,24 +291,11 @@ class Pretrainer:
             runs/r4_experiments.json A). The rng protocol matches
             train_step exactly: step i augments with
             split(fold_in(rng, start_step + i), 3)[0]."""
-
-            def one(i):
-                b = get_batch(i)
-                ra = jax.random.split(
-                    jax.random.fold_in(rng, start_step + i), 3)[0]
-                vi, vj = paired_augment(b, ra, cfg.aug,
-                                        tile=cfg.model.tile,
-                                        bond_window=bond_window)
-                return view_delta(vi), view_delta(vj)
-
-            idx = jnp.arange(n, dtype=jnp.int32)
-            chunk = 4 if cfg.aug in ("subgraph", "mix") else 16
-            if n > chunk and n % chunk == 0:
-                out = jax.lax.map(jax.vmap(one),
-                                  idx.reshape(n // chunk, chunk))
-                return jax.tree_util.tree_map(
-                    lambda x: x.reshape((n,) + x.shape[2:]), out)
-            return jax.vmap(one)(idx)
+            return precompute_deltas_for(
+                get_batch,
+                lambda i: jax.random.split(
+                    jax.random.fold_in(rng, start_step + i), 3)[0],
+                n, cfg.aug, tile=cfg.model.tile, bond_window=bond_window)
 
         def _scan_with_deltas(state, get_batch, n, rng):
             deltas = _deltas_for(get_batch, n, state.step, rng)
@@ -420,7 +410,8 @@ class Pretrainer:
                 temperature=cfg.temperature,
                 use_cosine=cfg.use_cosine_similarity, axis=cfg.data_axis,
                 tile=cfg.model.tile, bond_window=bond_window,
-                ntxent_impl=cfg.ntxent_impl)
+                ntxent_impl=cfg.ntxent_impl,
+                aug_precompute=cfg.aug_precompute)
             if cfg.model.tile > 0:
                 from molclr_tpu.parallel import build_dp_multi_step_units
 

@@ -433,10 +433,14 @@ class TestPrecomputedDeltas:
 
         batch, spec = self._batch()
         rng = jax.random.PRNGKey(7)
-        a = precompute_paired_deltas(batch, rng, 8, "node", chunk=4,
+        # k=10 with chunk=4 exercises the REMAINDER path (2 full chunks
+        # + a 2-wide tail vmap) — a non-divisible k must never fall back
+        # to a full-width vmap (r4 review finding: that unbounded the
+        # memory the chunking exists to bound)
+        a = precompute_paired_deltas(batch, rng, 10, "node", chunk=4,
                                      tile=spec.tile,
                                      bond_window=spec.max_graph_bonds)
-        b = precompute_paired_deltas(batch, rng, 8, "node", chunk=16,
+        b = precompute_paired_deltas(batch, rng, 10, "node", chunk=16,
                                      tile=spec.tile,
                                      bond_window=spec.max_graph_bonds)
         for x, y in zip(jax.tree_util.tree_leaves(a),

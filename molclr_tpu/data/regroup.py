@@ -72,18 +72,27 @@ def unit_spec_for(groups, tile: int, max_degree: int = 6) -> PadSpec:
 
 
 def pack_unit_stack(graphs, tile: int, max_degree: int = 6,
-                    seed: int = 0):
+                    seed: int = 0, uspec: PadSpec | None = None):
     """Pack a corpus into the [U, ...] tile-unit stack (host, one-time).
 
     Returns (stack_tree of numpy arrays with leading axis U, unit_spec,
-    units_per_batch_for(n_nodes) helper inputs). Molecules are shuffled
-    once (seeded) before grouping so units mix the corpus."""
+    units). Molecules are shuffled once (seeded) before grouping so
+    units mix the corpus. Pass `uspec` to pack with an externally AGREED
+    spec (multi-host SPMD: every process must use identical unit shapes
+    — parallel/multihost.agree_ints over the local specs' dims)."""
     from molclr_tpu.data.graphs import pack_batch
 
     order = np.random.RandomState(seed).permutation(len(graphs))
     shuffled = [graphs[i] for i in order]
     groups = plan_units(shuffled, tile)
-    uspec = unit_spec_for(groups, tile, max_degree)
+    local = unit_spec_for(groups, tile, max_degree)
+    if uspec is None:
+        uspec = local
+    elif (uspec.n_graphs < local.n_graphs
+          or uspec.n_edges < local.n_edges
+          or uspec.max_graph_bonds < local.max_graph_bonds):
+        raise ValueError(f"agreed unit spec {uspec} smaller than local "
+                         f"requirements {local}")
     units = [pack_batch(gr, uspec) for gr in groups]
     import jax
 

@@ -27,13 +27,23 @@ from molclr_tpu.losses import nt_xent_loss
 from molclr_tpu.train.state import TrainState
 
 
-def resolve_ntxent(impl: str, interpret: bool = False):
+def resolve_ntxent(impl: str, interpret: bool = False,
+                   global_pairs: int = 0):
     """'xla' -> closed-form losses.nt_xent_loss; 'pallas' -> the fused
     blockwise kernel (ops/pallas_ntxent.py), the right choice at pod-
     scale global batches, where the XLA path materializes a [2B, 2B]
-    similarity matrix (1 GiB fp32 at 2B=16384) and the kernel is 4.75x
-    faster (docs/DESIGN.md "Fused NT-Xent"). interpret=True runs the
-    kernel in Pallas interpreter mode (CPU parity tests only)."""
+    similarity matrix (1 GiB fp32 at 2B=16384) and the kernel is
+    1.29x whole-step / 4.75x loss-only faster (docs/DESIGN.md
+    "NT-Xent impls inside the REAL train step"). 'auto' picks the
+    kernel on a real TPU when the GLOBAL 2B (= 2 * global_pairs) is
+    kernel-legal (multiple of 128) and past the measured crossover
+    (2B >= 4096); otherwise the XLA closed form. interpret=True runs
+    the kernel in Pallas interpreter mode (CPU parity tests only)."""
+    if impl == "auto":
+        two_b = 2 * int(global_pairs)
+        use_pallas = (two_b >= 4096 and two_b % 128 == 0
+                      and (interpret or jax.default_backend() == "tpu"))
+        impl = "pallas" if use_pallas else "xla"
     if impl == "xla":
         return nt_xent_loss
     if impl == "pallas":
@@ -60,14 +70,14 @@ def stack_batches(batches) -> object:
 
 def _make_local_step(model, tx, *, aug, temperature, use_cosine, axis,
                      tile, bond_window, ntxent_impl="xla",
-                     ntxent_interpret=False):
+                     ntxent_interpret=False, global_pairs=0):
     """Per-device train step body shared by the one-shot and the
     device-resident multi-step DP paths. `batch` is this device's LOCAL
     GraphBatch (no leading device axis); must run inside shard_map.
     `views` (optional) carries precomputed augmented views (the batched
     per-dispatch augmentation of train/pretrain.py, same rng contract)."""
 
-    ntxent = resolve_ntxent(ntxent_impl, ntxent_interpret)
+    ntxent = resolve_ntxent(ntxent_impl, ntxent_interpret, global_pairs)
 
     def local_step(state, batch, rng, views=None):
         dev = jax.lax.axis_index(axis)
@@ -115,7 +125,8 @@ def build_dp_pretrain_step(model, tx, mesh: Mesh, *, aug: str = "node",
                            use_cosine: bool = True, axis: str = "data",
                            tile: int = 0, bond_window: int = 0,
                            ntxent_impl: str = "xla",
-                           ntxent_interpret: bool = False):
+                           ntxent_interpret: bool = False,
+                           global_pairs: int = 0):
     """Jitted data-parallel train step: (state, stacked_batch, rng) ->
     (state, loss). `stacked_batch` has a leading device axis of size
     mesh.shape[axis]; state is replicated. ntxent_impl='pallas' computes
@@ -125,7 +136,8 @@ def build_dp_pretrain_step(model, tx, mesh: Mesh, *, aug: str = "node",
                             use_cosine=use_cosine, axis=axis, tile=tile,
                             bond_window=bond_window,
                             ntxent_impl=ntxent_impl,
-                            ntxent_interpret=ntxent_interpret)
+                            ntxent_interpret=ntxent_interpret,
+                            global_pairs=global_pairs)
 
     def local_step(state, stacked_batch, rng):
         batch = jax.tree_util.tree_map(lambda x: x[0], stacked_batch)
@@ -170,7 +182,8 @@ def build_dp_multi_step_resident(model, tx, mesh: Mesh, *,
                                  bond_window: int = 0,
                                  ntxent_impl: str = "xla",
                                  ntxent_interpret: bool = False,
-                                 aug_precompute: bool = True):
+                                 aug_precompute: bool = True,
+                                 global_pairs: int = 0):
     """Scan-folded DP dispatch over the DEVICE-RESIDENT sharded batch
     cache: (state, stack, idxs, rng) -> (state, losses[S]).
 
@@ -185,7 +198,8 @@ def build_dp_multi_step_resident(model, tx, mesh: Mesh, *,
                             use_cosine=use_cosine, axis=axis, tile=tile,
                             bond_window=bond_window,
                             ntxent_impl=ntxent_impl,
-                            ntxent_interpret=ntxent_interpret)
+                            ntxent_interpret=ntxent_interpret,
+                            global_pairs=global_pairs)
 
     def local_multi(state, stack, idxs, rng):
         local = jax.tree_util.tree_map(lambda x: x[0], stack)  # [S_tot,...]
@@ -273,7 +287,8 @@ def build_dp_multi_step_units(model, tx, mesh: Mesh, *,
                               bond_window: int = 0,
                               ntxent_impl: str = "xla",
                               ntxent_interpret: bool = False,
-                              aug_precompute: bool = True):
+                              aug_precompute: bool = True,
+                              global_pairs: int = 0):
     """DP fresh-composition epochs: (state, sharded_unit_stack, idx_mat,
     rng) -> (state, losses[S]). `idx_mat` is [n_dev, S, T] — per-device,
     per-step unit selections; each device regroups T of ITS OWN tile-
@@ -288,7 +303,8 @@ def build_dp_multi_step_units(model, tx, mesh: Mesh, *,
                             use_cosine=use_cosine, axis=axis, tile=tile,
                             bond_window=bond_window,
                             ntxent_impl=ntxent_impl,
-                            ntxent_interpret=ntxent_interpret)
+                            ntxent_interpret=ntxent_interpret,
+                            global_pairs=global_pairs)
 
     def local_multi(state, ustack, idx_mat, rng):
         from molclr_tpu.data.regroup import concat_units

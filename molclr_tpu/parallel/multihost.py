@@ -137,3 +137,47 @@ def replicate_to_mesh(tree, mesh: Mesh):
                                             lambda idx: x[idx])
 
     return jax.tree_util.tree_map(rep, tree)
+
+
+def agree_ints(vals, mesh: Mesh, axis: str = "data", op: str = "max"):
+    """Cross-process agreement on small host integers (max or min).
+
+    SPMD requires identical static shapes/specs on every process; each
+    process contributes its local values and all adopt the elementwise
+    max/min. Uses the same make_array assembly as the cache builders —
+    no separate coordination channel. Single-process: identity."""
+    vals = tuple(int(v) for v in vals)
+    if jax.process_count() <= 1:
+        return vals
+    import jax.numpy as jnp
+
+    n_local = jax.local_device_count()
+    arr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(axis)),
+        np.tile(np.asarray(vals, np.int32)[None, :], (n_local, 1)))
+    red = (jnp.max if op == "max" else jnp.min)(arr, axis=0)
+    return tuple(int(x) for x in jax.device_get(red))
+
+
+def shard_unit_stack_global(stack, mesh: Mesh, axis: str = "data"):
+    """Multi-host analog of parallel/dp.shard_unit_stack: each process
+    contributes ITS tile-unit stack (packed from its corpus shard with
+    the cross-process AGREED unit spec); the global
+    [n_global_dev, U_dev, ...] array is assembled without any host
+    holding global data. U_dev (units per device) is the MIN across
+    processes so every device scans identical shapes. Returns
+    (global_stack, u_dev, n_dropped_local)."""
+    n_local = jax.local_device_count()
+    u_proc = jax.tree_util.tree_leaves(stack)[0].shape[0]
+    (u_dev,) = agree_ints((u_proc // n_local,), mesh, axis, op="min")
+    if u_dev == 0:
+        raise ValueError(f"{u_proc} local units < {n_local} local devices")
+    sharding = NamedSharding(mesh, P(axis))
+
+    def assemble(x):
+        x = np.asarray(x)[: u_dev * n_local]
+        return jax.make_array_from_process_local_data(
+            sharding, x.reshape((n_local, u_dev) + x.shape[1:]))
+
+    out = jax.tree_util.tree_map(assemble, stack)
+    return out, u_dev, u_proc - u_dev * n_local

@@ -50,9 +50,13 @@ class PretrainConfig:
     weight_decay: float = 1e-5      # config.yaml:12
     temperature: float = 0.1        # config.yaml:30
     use_cosine_similarity: bool = True
-    ntxent_impl: str = "xla"        # 'xla' | 'pallas' (fused blockwise
-                                    # kernel, ops/pallas_ntxent.py; wins
-                                    # only at pod-scale global batches)
+    ntxent_impl: str = "auto"       # 'auto' | 'xla' | 'pallas'. auto =
+                                    # the fused blockwise Pallas kernel
+                                    # (ops/pallas_ntxent.py) on TPU when
+                                    # the GLOBAL 2B is kernel-legal and
+                                    # past the measured crossover
+                                    # (2B >= 4096: 1.29x whole-step at
+                                    # 2B=8192), else the XLA closed form
     adam_impl: str = "chain"        # 'chain' (optax per-leaf chain) |
                                     # 'fused' (single-buffer raveled Adam,
                                     # train/optim.py adam_torch_fused —

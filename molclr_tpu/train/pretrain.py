@@ -220,13 +220,14 @@ class Pretrainer:
         bond_window = getattr(getattr(self, "spec", None),
                               "max_graph_bonds", 0)
 
-        if cfg.ntxent_impl == "pallas":
-            from molclr_tpu.ops.pallas_ntxent import nt_xent_pallas
-            loss_impl = nt_xent_pallas
-        elif cfg.ntxent_impl == "xla":
-            loss_impl = nt_xent_loss
-        else:
-            raise ValueError(f"unknown ntxent_impl {cfg.ntxent_impl!r}")
+        from molclr_tpu.parallel.dp import resolve_ntxent
+
+        # 'auto': the fused Pallas kernel past the measured crossover
+        # (global 2B >= 4096; single-chip global batch = cfg.batch_size)
+        loss_impl = resolve_ntxent(
+            cfg.ntxent_impl,
+            global_pairs=cfg.batch_size * (jax.device_count()
+                                           if cfg.data_axis else 1))
 
         def loss_fn(params, batch_stats, batch, rng, views=None):
             rng_aug, rng_di, rng_dj = jax.random.split(rng, 3)
@@ -402,7 +403,8 @@ class Pretrainer:
                 temperature=cfg.temperature,
                 use_cosine=cfg.use_cosine_similarity, axis=cfg.data_axis,
                 tile=cfg.model.tile, bond_window=bond_window,
-                ntxent_impl=cfg.ntxent_impl)
+                ntxent_impl=cfg.ntxent_impl,
+                global_pairs=cfg.batch_size * jax.device_count())
             from molclr_tpu.parallel import build_dp_multi_step_resident
 
             self._dp_multi_resident = build_dp_multi_step_resident(
@@ -411,7 +413,8 @@ class Pretrainer:
                 use_cosine=cfg.use_cosine_similarity, axis=cfg.data_axis,
                 tile=cfg.model.tile, bond_window=bond_window,
                 ntxent_impl=cfg.ntxent_impl,
-                aug_precompute=cfg.aug_precompute)
+                aug_precompute=cfg.aug_precompute,
+                global_pairs=cfg.batch_size * jax.device_count())
             if cfg.model.tile > 0:
                 from molclr_tpu.parallel import build_dp_multi_step_units
 
@@ -422,7 +425,8 @@ class Pretrainer:
                     axis=cfg.data_axis, tile=cfg.model.tile,
                     bond_window=bond_window,
                     ntxent_impl=cfg.ntxent_impl,
-                    aug_precompute=cfg.aug_precompute)
+                    aug_precompute=cfg.aug_precompute,
+                    global_pairs=cfg.batch_size * jax.device_count())
             else:
                 self._dp_multi_units = None
             self._train_step = None
@@ -630,10 +634,8 @@ class Pretrainer:
             if self._maybe_upload_units(log):
                 return
         if (cfg.fresh_compositions and cfg.data_axis
-                and cfg.model.tile > 0 and jax.process_count() == 1
+                and cfg.model.tile > 0
                 and self._dp_multi_units is not None):
-            # multi-process pods keep the frozen global cache (per-process
-            # unit packing + global index assembly not wired yet)
             if self._maybe_upload_units_dp(log):
                 return
         batches = [gb for gb, _, _ in cache]
@@ -737,16 +739,49 @@ class Pretrainer:
         """DP analog of _maybe_upload_units: shard the tile-unit stack
         across the mesh; every epoch each device regroups fresh batches
         from ITS OWN units (build_dp_multi_step_units). Units per device
-        per step = U_local // optimizer-steps-per-epoch, so the baked LR
-        schedule's epoch length is unchanged."""
+        per step = U_dev // optimizer-steps-per-epoch, so the baked LR
+        schedule's epoch length is unchanged.
+
+        Multi-process pods: each process packs only ITS corpus shard's
+        units with a cross-process AGREED unit spec (agree_ints over the
+        local specs' dims — SPMD needs identical shapes) and the global
+        stack assembles via make_array (shard_unit_stack_global); no
+        host ever holds global data."""
         cfg = self.cfg
-        from molclr_tpu.data.regroup import pack_unit_stack
+        from molclr_tpu.data.regroup import (
+            pack_unit_stack,
+            plan_units,
+            unit_spec_for,
+        )
+        from molclr_tpu.data.graphs import PadSpec
         from molclr_tpu.parallel import shard_unit_stack
+        from molclr_tpu.parallel.multihost import (
+            agree_ints,
+            shard_unit_stack_global,
+        )
 
         graphs = self.train_iter.graphs
+        multihost = jax.process_count() > 1
+        seed = cfg.seed + 7 * jax.process_index()
         try:
+            uspec = None
+            if multihost:
+                order = np.random.RandomState(seed).permutation(
+                    len(graphs))
+                local = unit_spec_for(
+                    plan_units([graphs[i] for i in order],
+                               cfg.model.tile), cfg.model.tile,
+                    cfg.max_degree)
+                g_t, e_t, mb = agree_ints(
+                    (local.n_graphs, local.n_edges,
+                     local.max_graph_bonds),
+                    self.mesh, cfg.data_axis, op="max")
+                uspec = PadSpec(n_graphs=g_t, n_nodes=cfg.model.tile,
+                                n_edges=e_t, max_degree=cfg.max_degree,
+                                tile=cfg.model.tile, max_graph_bonds=mb)
             stack, uspec, units = pack_unit_stack(
-                graphs, cfg.model.tile, cfg.max_degree, seed=cfg.seed)
+                graphs, cfg.model.tile, cfg.max_degree, seed=seed,
+                uspec=uspec)
         except ValueError as e:
             log(f"DP fresh-compositions unit packing unavailable ({e}); "
                 f"falling back to the frozen sharded cache")
@@ -754,34 +789,50 @@ class Pretrainer:
         u = len(units)
         n_dev = self.mesh.shape[cfg.data_axis]
         s_dp = self._sched_steps_per_epoch
-        t = (u // n_dev) // max(1, s_dp)
+        if multihost:
+            (s_dp,) = agree_ints((s_dp,), self.mesh, cfg.data_axis,
+                                 op="min")
+        n_local = jax.local_device_count() if multihost else n_dev
+        t = (u // n_local) // max(1, s_dp)
         if t < 1:
-            log(f"{u} tile-units over {n_dev} devices < {s_dp} "
-                f"steps/epoch; falling back to the frozen sharded cache")
+            log(f"{u} local tile-units over {n_local} local devices < "
+                f"{s_dp} steps/epoch; falling back to the frozen "
+                f"sharded cache")
             return False
         total_mb = sum(x.nbytes for x in
                        jax.tree_util.tree_leaves(stack)) / 2**20
-        if (self._device_cache_used_mb + total_mb / n_dev
-                > cfg.device_cache_mb):
-            log(f"tile-unit stack {total_mb / n_dev:.0f} MB/device "
-                f"exceeds device_cache_mb={cfg.device_cache_mb}; "
-                f"staying host-side")
+        per_dev_mb = total_mb / n_local
+        if self._device_cache_used_mb + per_dev_mb > cfg.device_cache_mb:
+            log(f"tile-unit stack {per_dev_mb:.0f} MB/device exceeds "
+                f"device_cache_mb={cfg.device_cache_mb}; staying "
+                f"host-side")
             return False
-        self._dp_unit_stack, u_local, dropped = shard_unit_stack(
-            stack, self.mesh, cfg.data_axis)
-        self._dp_units_local = u_local
+        if multihost:
+            self._dp_unit_stack, u_dev, dropped = shard_unit_stack_global(
+                stack, self.mesh, cfg.data_axis)
+            # t must be identical everywhere: derive from the agreed u_dev
+            t = u_dev // max(1, s_dp)
+            if t < 1:
+                log(f"agreed {u_dev} units/device < {s_dp} steps/epoch; "
+                    f"falling back to the frozen sharded cache")
+                self._dp_unit_stack = None
+                return False
+        else:
+            self._dp_unit_stack, u_dev, dropped = shard_unit_stack(
+                stack, self.mesh, cfg.data_axis)
+        self._dp_units_local = u_dev
         self._dp_units_per_batch = t
         self._dp_units_s_epoch = s_dp
-        self._device_cache_used_mb += total_mb / n_dev
+        self._device_cache_used_mb += per_dev_mb
         n_edges = sum(int(g.edge_src.shape[0]) for g in graphs)
         n_nodes = sum(int(g.n_atoms) for g in graphs)
-        self._mean_real_edges = n_edges * (n_dev * t) / u
-        self._mean_real_nodes = n_nodes * (n_dev * t) / u
-        log(f"uploaded {u_local * n_dev}-unit stack sharded over "
-            f"{n_dev} devices ({total_mb / n_dev:.0f} MB/device, "
+        self._mean_real_edges = n_edges * (n_local * t) / u
+        self._mean_real_nodes = n_nodes * (n_local * t) / u
+        log(f"uploaded {u_dev}-unit/device stack sharded over "
+            f"{n_dev} devices ({per_dev_mb:.0f} MB/device, "
             f"{t} units x {cfg.model.tile} nodes per device-step, "
             f"{s_dp} steps/epoch); DP epochs re-draw batch compositions "
-            f"on-device{f' ({dropped} remainder units dropped)' if dropped else ''}")
+            f"on-device{f' ({dropped} local remainder units dropped)' if dropped else ''}")
         return True
 
     def _dp_epoch_orders(self):
@@ -879,21 +930,30 @@ class Pretrainer:
                 if self._dp_unit_stack is not None:
                     # DP fresh-composition epoch: per-device unit
                     # selections, one [n_dev, S, T] index upload per
-                    # dispatch
+                    # dispatch (LOCAL rows assembled globally on pods)
                     from molclr_tpu.data.regroup import epoch_unit_orders
 
-                    n_dev = self.mesh.shape[cfg.data_axis]
+                    multihost = jax.process_count() > 1
+                    n_local = (jax.local_device_count() if multihost
+                               else self.mesh.shape[cfg.data_axis])
+                    base = jax.process_index() * n_local
                     per_dev = np.stack([
                         epoch_unit_orders(
                             self._dp_units_local,
                             self._dp_units_per_batch,
-                            cfg.seed + 104729 * (d + 1), epoch,
+                            cfg.seed + 104729 * (base + d + 1), epoch,
                         )[: self._dp_units_s_epoch]
-                        for d in range(n_dev)])      # [n_dev, S, T]
+                        for d in range(n_local)])    # [n_local, S, T]
                     fold = (per_dev.shape[1] if auto_fold
                             else max(1, cfg.steps_per_dispatch))
+                    if multihost:
+                        from molclr_tpu.parallel import assemble_rows
                     for lo in range(0, per_dev.shape[1], fold):
-                        idxs = jnp.asarray(per_dev[:, lo : lo + fold])
+                        sl = np.ascontiguousarray(
+                            per_dev[:, lo : lo + fold])
+                        idxs = (assemble_rows(sl, self.mesh,
+                                              cfg.data_axis)
+                                if multihost else jnp.asarray(sl))
                         self.state, loss_arr = self._dp_multi_units(
                             self.state, self._dp_unit_stack, idxs, rng)
                         losses.extend(float(x)

@@ -9,7 +9,14 @@ global NT-Xent all_gather, grad pmean — all over gloo CPU collectives) ->
 writes the per-step losses to a JSON file for the parent to compare
 against the single-process 2-device run.
 
-Usage: python multihost_worker.py <pid> <nproc> <port> <outdir>
+Usage: python multihost_worker.py <pid> <nproc> <port> <outdir> [mode]
+
+mode 'dp' (default): hand-built DP resident epoch (loss parity with the
+single-process 2-device run). mode 'pretrainer-units': the FULL
+Pretrainer under data_axis with fresh_compositions — per-process unit
+packing with a cross-process agreed spec, global stack assembly, and
+per-epoch on-device regroup; asserts the units path activated and
+writes the (replicated) loss history.
 """
 
 import json
@@ -19,6 +26,7 @@ import sys
 def main():
     pid, nproc = int(sys.argv[1]), int(sys.argv[2])
     port, outdir = sys.argv[3], sys.argv[4]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "dp"
 
     import jax
 
@@ -36,6 +44,34 @@ def main():
     assert jax.device_count() == nproc
 
     import numpy as np
+
+    if mode == "pretrainer-units":
+        from molclr_tpu.data.synthetic import synthetic_corpus
+        from molclr_tpu.train.config import ModelConfig, PretrainConfig
+        from molclr_tpu.train.pretrain import Pretrainer
+
+        cfg = PretrainConfig(
+            batch_size=8, epochs=3, warm_up=1, aug="node",
+            valid_size=0.1, seed=0, featurize_processes=0,
+            eval_every_epochs=100, save_every_epochs=100,
+            ckpt_dir=f"{outdir}/pre{pid}", device_cache_mb=512,
+            data_axis="data",
+            model=ModelConfig(gnn_type="gin", num_layers=2, emb_dim=32,
+                              feat_dim=64, tile=64, drop_ratio=0.0))
+        smiles = synthetic_corpus(900, seed=9)
+        pre = Pretrainer(cfg).setup_data(smiles)
+        pre.setup_state(next(iter(pre.train_iter))[0])
+        history = pre.train(log=lambda *_: None)
+        with open(f"{outdir}/worker{pid}.json", "w") as f:
+            json.dump({"pid": pid, "mode": mode,
+                       "process_count": jax.process_count(),
+                       "units_active": pre._dp_unit_stack is not None,
+                       "units_per_batch": int(pre._dp_units_per_batch
+                                              or 0),
+                       "steps": [h["steps"] for h in history],
+                       "losses": [round(h["train_loss"], 6)
+                                  for h in history]}, f)
+        return
 
     from molclr_tpu.data import featurize_smiles, pack_batch
     from molclr_tpu.data.graphs import PadSpec

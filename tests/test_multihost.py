@@ -232,3 +232,53 @@ class TestTwoProcessIntegration:
             results[0]["losses"], np.asarray(ref_losses), rtol=2e-5,
             atol=1e-6,
             err_msg="2-process DP losses != single-process 2-device run")
+
+
+class TestTwoProcessFreshCompositions:
+    """The FULL Pretrainer under 2-process jax.distributed with
+    fresh_compositions: per-process unit packing with the cross-process
+    AGREED spec, global stack assembly, per-epoch on-device regroup.
+    The replicated loss history must be identical on both processes and
+    the units path must actually activate."""
+
+    def test_two_process_pretrainer_units(self, tmp_path):
+        import json
+        import os
+        import socket
+        import subprocess
+        import sys
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        worker = os.path.join(root, "tests", "multihost_worker.py")
+        env = dict(os.environ, PYTHONPATH=root)
+        procs = [subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port),
+             str(tmp_path), "pretrainer-units"],
+            cwd=root, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT) for pid in range(2)]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=600)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(out.decode(errors="replace"))
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+        results = [json.load(open(tmp_path / f"worker{pid}.json"))
+                   for pid in range(2)]
+        for r in results:
+            assert r["process_count"] == 2
+            assert r["units_active"], r
+            assert r["units_per_batch"] >= 1
+        # replicated history identical across processes
+        assert results[0]["losses"] == results[1]["losses"]
+        assert results[0]["steps"] == results[1]["steps"]
+        losses = results[0]["losses"]
+        assert all(np.isfinite(l) for l in losses)
+        assert losses[-1] < losses[0]

@@ -14,8 +14,6 @@ Collectives ride ICI via XLA; no NCCL analog exists or is needed.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

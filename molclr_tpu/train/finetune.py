@@ -23,7 +23,6 @@ fine-tune matmuls onto the MXU).
 
 from __future__ import annotations
 
-import json
 import os
 import time
 

@@ -297,3 +297,104 @@ def test_finetune_step_parity(task, torch_loss):
     compare_states(to.export_torch_state(params, stats), tmodel, tgrads,
                    steps=3, tight=False,
                    what=f"{task}/{torch_loss} after 3 steps")
+
+
+def test_motif_finetune_step_parity():
+    """The fork's motif-MP head (component #14): loss, gradients and
+    post-Adam params vs the torch oracle's GlobalAttention-equivalent
+    (TorchMotifNet) over 3 consecutive two-LR Adam steps."""
+    from molclr_tpu.models import MotifFineTuneNet
+
+    gi = [featurize_smiles(s) for s in SMILES]
+    spec = spec_for_graphs(gi, len(gi), sizing="max")
+    batch = pack_batch(gi, spec)
+    tb = to.batch_graphs(gi)
+
+    g = len(gi)
+    num_motifs, c = 7, 3
+    rng = np.random.RandomState(11)
+    motif_ids = rng.randint(0, num_motifs, size=(spec.n_graphs, c))
+    motif_mask = np.zeros((spec.n_graphs, c), bool)
+    for i in range(g):
+        motif_mask[i, : rng.randint(1, c + 1)] = True
+    motif_ids[~motif_mask] = 0
+    y_np = rng.randint(0, 2, size=g)
+
+    # reference layout: clique rows (per molecule, masked ids) + own rows
+    mol_idx, clique_idx = [], []
+    for i in range(g):
+        for k in range(c):
+            if motif_mask[i, k]:
+                mol_idx.append(i)
+                clique_idx.append(int(motif_ids[i, k]))
+    mol_idx.extend(range(g))
+    t_mol = torch.tensor(mol_idx, dtype=torch.long)
+    t_clique = torch.tensor(clique_idx, dtype=torch.long)
+    ty = torch.tensor(y_np, dtype=torch.long)
+
+    model = MotifFineTuneNet(num_motifs=num_motifs, task="classification",
+                             gnn_type="gin", drop_ratio=0.0)
+    mi, mm = jnp.asarray(motif_ids), jnp.asarray(motif_mask)
+    variables = model.init(jax.random.PRNGKey(3), batch, mi, mm,
+                           train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+
+    tmodel = to.TorchMotifNet(num_motifs, "classification")
+    to.load_into_torch(tmodel, to.export_torch_state(params, stats))
+    tmodel.train()
+    head = [p for k, p in tmodel.named_parameters()
+            if k.startswith(("pred_head", "motif"))]
+    base = [p for k, p in tmodel.named_parameters()
+            if not k.startswith(("pred_head", "motif"))]
+    opt = torch.optim.Adam(
+        [{"params": base, "lr": 1e-4}, {"params": head}],
+        lr=5e-4, weight_decay=1e-5)
+
+    y_pad = np.zeros(batch.num_graphs, np.int32)
+    y_pad[:g] = y_np
+
+    def loss_fn(params, stats, y):
+        import optax
+
+        (_, pred), upd = model.apply(
+            {"params": params, "batch_stats": stats}, batch, mi, mm,
+            train=True, mutable=["batch_stats"])
+        w = batch.graph_mask.astype(jnp.float32)
+        per = optax.softmax_cross_entropy_with_integer_labels(
+            pred.astype(jnp.float32), y.astype(jnp.int32))
+        return (per * w).sum() / jnp.maximum(w.sum(), 1.0), \
+            upd["batch_stats"]
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+    tx = two_group_adam(params, head_lr=5e-4, base_lr=1e-4,
+                        weight_decay=1e-5)
+    opt_state = tx.init(params)
+    criterion = torch.nn.CrossEntropyLoss()
+
+    for step in range(3):
+        (loss, stats), grads = grad_fn(params, stats, y_pad)
+        opt.zero_grad()
+        _, pred = tmodel(tb, t_mol, t_clique)
+        tloss = criterion(pred, ty)
+        tloss.backward()
+        np.testing.assert_allclose(
+            float(loss), float(tloss.detach()),
+            rtol=1e-5 if step == 0 else 1e-3,
+            atol=0.0 if step == 0 else 2e-5,
+            err_msg=f"motif loss diverged at step {step}")
+        if step == 0:
+            tgrads = {k: p.grad.detach().numpy().copy()
+                      for k, p in tmodel.named_parameters()}
+            # looser than the plain fine-tune test: hg feeds EVERY
+            # attention slot, so trunk gradients accumulate through the
+            # softmax/exp chain in different orders between frameworks
+            # (measured: motif/gate/head grads match at 0.0; trunk worst
+            # rel ~4e-3 on 0.03-scale values, pure fp32 path noise)
+            compare_grads(grads, tgrads, "gin", rtol=4e-3, atol=2e-4)
+        opt.step()
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = tree_add(params, updates)
+
+    compare_states(to.export_torch_state(params, stats), tmodel,
+                   tgrads, steps=3, tight=False,
+                   what="motif after 3 steps")

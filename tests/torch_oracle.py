@@ -118,7 +118,7 @@ class TorchNet(nn.Module):
 
     def __init__(self, gnn_type="gin", num_layers=5, emb_dim=300,
                  feat_dim=512, task=None, pred_n_layer=2,
-                 pred_act="softplus", pool="mean"):
+                 pred_act="softplus", pool="mean", head_in=None):
         super().__init__()
         self.num_layers, self.pool, self.task = num_layers, pool, task
         self.x_embedding1 = nn.Embedding(119, emb_dim)
@@ -136,13 +136,14 @@ class TorchNet(nn.Module):
             act = nn.Softplus if pred_act == "softplus" else nn.ReLU
             out_dim = 2 if task == "classification" else 1
             half = feat_dim // 2
-            head = [nn.Linear(feat_dim, half), act()]
+            head = [nn.Linear(head_in or feat_dim, half), act()]
             for _ in range(max(1, pred_n_layer) - 1):
                 head.extend([nn.Linear(half, half), act()])
             head.append(nn.Linear(half, out_dim))
             self.pred_head = nn.Sequential(*head)
 
-    def forward(self, b):
+    def encode(self, b):
+        """Trunk + pool + feat_lin: the [G, feat_dim] molecule features."""
         h = self.x_embedding1(b["atom_type"]) \
             + self.x_embedding2(b["chirality"])
         for layer in range(self.num_layers):
@@ -157,7 +158,10 @@ class TorchNet(nn.Module):
         counts = torch.zeros(g, dtype=h.dtype).index_add_(
             0, b["node_graph"], torch.ones(b["n_nodes"], dtype=h.dtype))
         hg = sums / counts[:, None]
-        hg = self.feat_lin(hg)
+        return self.feat_lin(hg)
+
+    def forward(self, b):
+        hg = self.encode(b)
         if self.task is None:
             return hg, self.out_lin(hg)
         return hg, self.pred_head(hg)
@@ -230,6 +234,15 @@ def export_torch_state(params, stats=None, num_layers=5, gnn_type="gin",
             state[f"batch_norms.{l}.running_var"] = np.asarray(sbn["var"])
     state["feat_lin.weight"] = np.asarray(params["feat_lin"]["kernel"]).T
     state["feat_lin.bias"] = np.asarray(params["feat_lin"]["bias"])
+    if "motif_embedding" in params:
+        state["motif_embedding.weight"] = np.asarray(
+            params["motif_embedding"])
+        state["motif_gate.weight"] = np.asarray(
+            params["motif_gate"]["kernel"]).T
+        state["motif_gate.bias"] = np.asarray(params["motif_gate"]["bias"])
+        state["motif_lin.weight"] = np.asarray(
+            params["motif_lin"]["kernel"]).T
+        state["motif_lin.bias"] = np.asarray(params["motif_lin"]["bias"])
     if "out_lin_0" in params:
         state["out_lin.0.weight"] = np.asarray(
             params["out_lin_0"]["kernel"]).T
@@ -360,3 +373,45 @@ def torch_finetune_run(model, tb_tr, y_tr, tb_va, y_va, tb_te, y_te, *,
     return {"train_losses": train_losses, "valid_metrics": valid_metrics,
             "test_metric": eval_metric(tb_te, y_te),
             "best_epoch": best_epoch}
+
+
+# ---- motif message-passing head (the fork's hallmark, round 4) ----
+
+
+class TorchMotifNet(TorchNet):
+    """Reference motif-MP fine-tune net (ginet_finetune_mp.py:52-168),
+    PyG GlobalAttention replaced by an explicit segment softmax.
+
+    forward takes (batch, mol_idx, clique_idx) in the reference's layout
+    (finetune.py:199-210): clique_idx lists every molecule's motif vocab
+    ids, mol_idx the owning molecule per row, and the pooled feature of
+    EVERY molecule is appended as one extra row per molecule."""
+
+    def __init__(self, num_motifs, task, gnn_type="gin", num_layers=5,
+                 emb_dim=300, feat_dim=512, pred_n_layer=2,
+                 pred_act="softplus"):
+        super().__init__(gnn_type=gnn_type, num_layers=num_layers,
+                         emb_dim=emb_dim, feat_dim=feat_dim, task=task,
+                         pred_n_layer=pred_n_layer, pred_act=pred_act,
+                         head_in=2 * feat_dim)
+        self.motif_embedding = nn.Embedding(num_motifs, feat_dim)
+        self.motif_lin = nn.Linear(feat_dim, feat_dim)
+        self.motif_gate = nn.Linear(feat_dim, 1)
+
+    def forward(self, b, mol_idx, clique_idx):
+        hg = self.encode(b)                               # [G, F]
+        hp = self.motif_embedding(clique_idx)             # [R, F]
+        hp = torch.cat([hp, hg], dim=0)                   # + own rows
+        gate = self.motif_gate(hp)[:, 0]                  # [R + G]
+        # segment softmax over mol_idx (GlobalAttention semantics)
+        g = hg.shape[0]
+        seg_max = torch.full((g,), -1e30).index_reduce_(
+            0, mol_idx, gate, "amax", include_self=False)
+        e = torch.exp(gate - seg_max[mol_idx])
+        denom = torch.zeros(g).index_add_(0, mol_idx, e)
+        alpha = e / denom[mol_idx]
+        pooled = torch.zeros(g, hp.shape[1]).index_add_(
+            0, mol_idx, alpha[:, None] * hp)
+        hp = self.motif_lin(pooled)
+        cat = torch.cat([hg, hp], dim=1)                  # [G, 2F]
+        return cat, self.pred_head(cat)

@@ -696,6 +696,8 @@ class Pretrainer:
         from molclr_tpu.data.regroup import pack_unit_stack
 
         graphs = self.train_iter.graphs
+        if len(graphs) > cfg.pack_cache_max_mols:
+            return False
         try:
             stack, uspec, units = pack_unit_stack(
                 graphs, cfg.model.tile, cfg.max_degree, seed=cfg.seed)
@@ -761,6 +763,8 @@ class Pretrainer:
         )
 
         graphs = self.train_iter.graphs
+        if len(graphs) > cfg.pack_cache_max_mols:
+            return False
         multihost = jax.process_count() > 1
         seed = cfg.seed + 7 * jax.process_index()
         try:
@@ -916,6 +920,18 @@ class Pretrainer:
             # dispatch (silently dropping every batch)
             n_dev = self.mesh.shape[cfg.data_axis]
             s_fold = n_dev * max(1, -(-s_fold // n_dev))
+        # UPFRONT fresh-compositions activation: the tile-unit stack
+        # packs straight from the featurized corpus, so there is no
+        # reason to stream epoch 0 host-side first (that also made a
+        # resumed run's first epoch diverge from the uninterrupted
+        # stream); ineligible configs fall through to the usual paths
+        if (cfg.fresh_compositions and cfg.model.tile > 0
+                and cfg.device_cache_mb):
+            if (not cfg.data_axis and self._unit_stack is None):
+                self._maybe_upload_units(log)
+            elif (cfg.data_axis and self._dp_unit_stack is None
+                  and self._dp_multi_units is not None):
+                self._maybe_upload_units_dp(log)
         profiler_active = False
         if cfg.profile_dir:
             jax.profiler.start_trace(cfg.profile_dir)

@@ -228,3 +228,61 @@ class TestDpFreshCompositions:
         losses = [h["train_loss"] for h in history]
         assert all(np.isfinite(l) for l in losses)
         assert losses[-1] < losses[0]
+
+
+class TestUnitsResume:
+    def test_resume_reproduces_fresh_composition_stream(self, tmp_path):
+        """Full-state resume on the fresh-compositions path: the resumed
+        run must re-pack IDENTICAL units (seeded shuffle + greedy plan)
+        and re-draw the SAME per-epoch unit orders, so its epoch-2/3
+        losses equal the uninterrupted run's."""
+        from molclr_tpu.train.checkpoints import latest_checkpoint
+        from molclr_tpu.train.config import ModelConfig, PretrainConfig
+        from molclr_tpu.train.pretrain import Pretrainer
+
+        base = dict(batch_size=48, warm_up=1, aug="node", valid_size=0.1,
+                    seed=0, featurize_processes=0, eval_every_epochs=100,
+                    device_cache_mb=512,
+                    model=ModelConfig(gnn_type="gin", num_layers=2,
+                                      emb_dim=32, feat_dim=64, tile=TILE,
+                                      drop_ratio=0.0))
+        smiles = synthetic_corpus(430, seed=9)
+
+        # uninterrupted 4-epoch run
+        cfg_full = PretrainConfig(epochs=4, save_every_epochs=100,
+                                  ckpt_dir=str(tmp_path / "full"), **base)
+        pf = Pretrainer(cfg_full).setup_data(smiles)
+        pf.setup_state(next(iter(pf.train_iter))[0])
+        hist_full = pf.train(log=lambda *_: None)
+        assert pf._unit_stack is not None
+
+        # 2 epochs, checkpoint, resume for epochs 2-3
+        cfg1 = PretrainConfig(epochs=4, save_every_epochs=2,
+                              ckpt_dir=str(tmp_path / "a"), **base)
+        p1 = Pretrainer(cfg1).setup_data(smiles)
+        p1.setup_state(next(iter(p1.train_iter))[0])
+        # stop after 2 epochs by training a 2-epoch schedule? No — the
+        # schedule must match the 4-epoch run, so train the full config
+        # but interrupt via epochs override on a copy:
+        import dataclasses
+
+        p1.cfg = dataclasses.replace(cfg1)  # keep schedule from setup
+        orig_epochs = p1.cfg.epochs
+        p1.cfg.epochs = 2
+        p1.train(log=lambda *_: None)
+        p1.cfg.epochs = orig_epochs
+        ckpt = latest_checkpoint(cfg1.ckpt_dir)
+        assert ckpt is not None
+
+        cfg2 = PretrainConfig(epochs=4, save_every_epochs=100,
+                              ckpt_dir=str(tmp_path / "b"),
+                              resume_from=ckpt, **base)
+        p2 = Pretrainer(cfg2).setup_data(smiles)
+        p2.setup_state(next(iter(p2.train_iter))[0])
+        assert p2._start_epoch == 2
+        hist_res = p2.train(log=lambda *_: None)
+        assert p2._unit_stack is not None
+        assert len(hist_res) == 2
+        got = [h["train_loss"] for h in hist_res]
+        want = [h["train_loss"] for h in hist_full[2:]]
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)

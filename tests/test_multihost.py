@@ -282,3 +282,34 @@ class TestTwoProcessFreshCompositions:
         losses = results[0]["losses"]
         assert all(np.isfinite(l) for l in losses)
         assert losses[-1] < losses[0]
+
+
+def test_agree_ints_single_process_identity():
+    from molclr_tpu.parallel.multihost import agree_ints
+
+    mesh = make_mesh(8, axis="data")
+    assert agree_ints((3, 7, 11), mesh, "data", op="max") == (3, 7, 11)
+    assert agree_ints((3,), mesh, "data", op="min") == (3,)
+
+
+def test_shard_unit_stack_global_degenerates_to_local():
+    """process_count == 1: the global assembler must equal
+    parallel/dp.shard_unit_stack exactly (sharding and values)."""
+    from molclr_tpu.data import featurize_smiles
+    from molclr_tpu.data.regroup import pack_unit_stack
+    from molclr_tpu.data.synthetic import synthetic_corpus
+    from molclr_tpu.parallel import shard_unit_stack
+    from molclr_tpu.parallel.multihost import shard_unit_stack_global
+
+    graphs = [g for g in (featurize_smiles(s)
+                          for s in synthetic_corpus(120, seed=5))
+              if g is not None and g.max_degree <= 6]
+    stack, _, units = pack_unit_stack(graphs, 32, seed=1)
+    mesh = make_mesh(8, axis="data")
+    ref, ref_u, ref_drop = shard_unit_stack(stack, mesh, "data")
+    glo, glo_u, glo_drop = shard_unit_stack_global(stack, mesh, "data")
+    assert (glo_u, glo_drop) == (ref_u, ref_drop)
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(glo)):
+        assert a.sharding == b.sharding
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

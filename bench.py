@@ -114,6 +114,11 @@ def main() -> int:
                                tile=args.tile, sizing="max")
         packed = pack_batch(graphs, spec)
     batch = jax.device_put(packed)
+    # corpus-derived BFS horizon (trainer auto semantics): max atoms - 1
+    # bounds every graph eccentricity, so subgraph/mix can never
+    # under-remove — and small-molecule corpora get a horizon BELOW the
+    # legacy fixed 32 (fewer waves = faster)
+    max_waves = max(1, max(g.n_atoms for g in graphs) - 1)
     n_nodes = int(np.asarray(batch.node_mask).sum())
     n_edges = int(np.asarray(batch.edge_mask).sum())
     msg_edges = n_edges + n_nodes  # per conv layer: bonds + self-loops
@@ -145,7 +150,8 @@ def main() -> int:
             else:
                 vi, vj = paired_augment(batch, ra, aug, tile=args.tile,
                                         bond_window=spec.max_graph_bonds,
-                                        bfs_stride=args.bfs_stride)
+                                        bfs_stride=args.bfs_stride,
+                                        max_waves=max_waves)
             if args.concat:
                 both = concat_views(vi, vj)
                 (_, z), upd = model.apply(
@@ -192,7 +198,7 @@ def main() -> int:
                 deltas = precompute_paired_deltas(
                     batch, rng, k, aug, tile=args.tile,
                     bond_window=spec.max_graph_bonds,
-                    bfs_stride=args.bfs_stride)
+                    bfs_stride=args.bfs_stride, max_waves=max_waves)
 
                 def body(s, i):
                     di, dj = jax.tree_util.tree_map(

@@ -223,15 +223,36 @@ def nt_xent_pallas(zis, zjs, temperature: float = 0.1,
                    pair_mask=None, interpret: bool = False):
     """Drop-in fused replacement for losses.nt_xent_loss.
 
-    2B must be a multiple of 128. Cosine normalization runs in JAX so its
-    gradient composes with the kernel's custom VJP. pair_mask [B] marks
-    real (non-padding) pairs, with the same semantics as the XLA loss."""
+    Any B is legal: when the (globally gathered) pair count is not a
+    multiple of 64 — e.g. the fresh-compositions units path trains on
+    t*G_t graph slots, a data-dependent count — both halves are padded
+    with dead pairs (pair_mask=0) up to the next multiple of 64, so the
+    kernel's 2B is always a multiple of 128. Dead pairs contribute
+    neither positives nor negatives and the loss is the mean over valid
+    rows, so padding is exact (pinned vs the XLA loss in
+    tests/test_pallas_ntxent.py). Cosine normalization runs in JAX so
+    its gradient composes with the kernel's custom VJP. pair_mask [B]
+    marks real (non-padding) pairs, same semantics as the XLA loss."""
     if axis_name is not None:
         zis = jax.lax.all_gather(zis, axis_name).reshape(-1, zis.shape[-1])
         zjs = jax.lax.all_gather(zjs, axis_name).reshape(-1, zjs.shape[-1])
         if pair_mask is not None:
             pair_mask = jax.lax.all_gather(pair_mask,
                                            axis_name).reshape(-1)
+    b = zis.shape[0]
+    pad = (-b) % 64
+    if pad:
+        # pad PER HALF (not after the concat) so the +-B partner offsets
+        # of the [zjs; zis] stacking stay aligned
+        zpad = jnp.zeros((pad, zis.shape[-1]), zis.dtype)
+        zis = jnp.concatenate([zis, zpad], axis=0)
+        zjs = jnp.concatenate([zjs, zpad.astype(zjs.dtype)], axis=0)
+        if pair_mask is None:
+            pair_mask = jnp.arange(b + pad) < b
+        else:
+            pair_mask = jnp.concatenate(
+                [pair_mask.astype(jnp.bool_),
+                 jnp.zeros((pad,), jnp.bool_)])
     reps = jnp.concatenate([zjs, zis], axis=0).astype(jnp.float32)
     if use_cosine:
         reps = reps / jnp.maximum(

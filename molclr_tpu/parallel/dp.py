@@ -26,31 +26,50 @@ from molclr_tpu.train.state import TrainState
 
 
 def resolve_ntxent(impl: str, interpret: bool = False,
-                   global_pairs: int = 0):
+                   n_devices: int = 1):
     """'xla' -> closed-form losses.nt_xent_loss; 'pallas' -> the fused
     blockwise kernel (ops/pallas_ntxent.py), the right choice at pod-
     scale global batches, where the XLA path materializes a [2B, 2B]
     similarity matrix (1 GiB fp32 at 2B=16384) and the kernel is
     1.29x whole-step / 4.75x loss-only faster (docs/DESIGN.md
-    "NT-Xent impls inside the REAL train step"). 'auto' picks the
-    kernel on a real TPU when the GLOBAL 2B (= 2 * global_pairs) is
-    kernel-legal (multiple of 128) and past the measured crossover
-    (2B >= 4096); otherwise the XLA closed form. interpret=True runs
-    the kernel in Pallas interpreter mode (CPU parity tests only)."""
-    if impl == "auto":
-        two_b = 2 * int(global_pairs)
-        use_pallas = (two_b >= 4096 and two_b % 128 == 0
-                      and (interpret or jax.default_backend() == "tpu"))
-        impl = "pallas" if use_pallas else "xla"
+    "NT-Xent impls inside the REAL train step").
+
+    'auto' defers the choice to TRACE time: the returned callable picks
+    the kernel on a real TPU when the ACTUAL global 2B — 2 x the
+    per-call pair count x n_devices (the mesh axis size when the call
+    gathers over one) — is past the measured crossover (2B >= 4096).
+    A config-derived static resolution is wrong on the default
+    fresh-compositions units path, whose batches carry t*G_t graph
+    slots, not cfg.batch_size (ADVICE r4). The kernel pads pair arrays
+    to a legal multiple of 64 pairs itself, so legality never gates the
+    choice. interpret=True runs the kernel in Pallas interpreter mode
+    (CPU parity tests only)."""
+    import functools
+
     if impl == "xla":
         return nt_xent_loss
     if impl == "pallas":
-        import functools
-
         from molclr_tpu.ops.pallas_ntxent import nt_xent_pallas
 
         return functools.partial(nt_xent_pallas, interpret=interpret)
-    raise ValueError(f"unknown ntxent_impl {impl!r}")
+    if impl != "auto":
+        raise ValueError(f"unknown ntxent_impl {impl!r}")
+
+    def auto_loss(zis, zjs, temperature=0.1, use_cosine=True,
+                  axis_name=None, pair_mask=None):
+        two_b = 2 * zis.shape[0] * (n_devices if axis_name else 1)
+        if two_b >= 4096 and (interpret
+                              or jax.default_backend() == "tpu"):
+            from molclr_tpu.ops.pallas_ntxent import nt_xent_pallas
+
+            return nt_xent_pallas(zis, zjs, temperature, use_cosine,
+                                  axis_name=axis_name,
+                                  pair_mask=pair_mask,
+                                  interpret=interpret)
+        return nt_xent_loss(zis, zjs, temperature, use_cosine,
+                            axis_name=axis_name, pair_mask=pair_mask)
+
+    return auto_loss
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
@@ -67,15 +86,16 @@ def stack_batches(batches) -> object:
 
 
 def _make_local_step(model, tx, *, aug, temperature, use_cosine, axis,
-                     tile, bond_window, ntxent_impl="xla",
-                     ntxent_interpret=False, global_pairs=0):
+                     tile, bond_window, max_waves=0, ntxent_impl="xla",
+                     ntxent_interpret=False, n_devices=1):
     """Per-device train step body shared by the one-shot and the
     device-resident multi-step DP paths. `batch` is this device's LOCAL
     GraphBatch (no leading device axis); must run inside shard_map.
     `views` (optional) carries precomputed augmented views (the batched
     per-dispatch augmentation of train/pretrain.py, same rng contract)."""
 
-    ntxent = resolve_ntxent(ntxent_impl, ntxent_interpret, global_pairs)
+    ntxent = resolve_ntxent(ntxent_impl, ntxent_interpret,
+                            n_devices=n_devices)
 
     def local_step(state, batch, rng, views=None):
         dev = jax.lax.axis_index(axis)
@@ -87,7 +107,8 @@ def _make_local_step(model, tx, *, aug, temperature, use_cosine, axis,
                 vi, vj = views
             else:
                 vi, vj = paired_augment(batch, rng_aug, aug, tile=tile,
-                                        bond_window=bond_window)
+                                        bond_window=bond_window,
+                                        max_waves=max_waves)
             (_, zi), upd = model.apply(
                 {"params": params, "batch_stats": batch_stats}, vi,
                 train=True, rngs={"dropout": rng_di},
@@ -122,9 +143,9 @@ def build_dp_pretrain_step(model, tx, mesh: Mesh, *, aug: str = "node",
                            temperature: float = 0.1,
                            use_cosine: bool = True, axis: str = "data",
                            tile: int = 0, bond_window: int = 0,
+                           max_waves: int = 0,
                            ntxent_impl: str = "xla",
-                           ntxent_interpret: bool = False,
-                           global_pairs: int = 0):
+                           ntxent_interpret: bool = False):
     """Jitted data-parallel train step: (state, stacked_batch, rng) ->
     (state, loss). `stacked_batch` has a leading device axis of size
     mesh.shape[axis]; state is replicated. ntxent_impl='pallas' computes
@@ -132,10 +153,10 @@ def build_dp_pretrain_step(model, tx, mesh: Mesh, *, aug: str = "node",
     on the all-gathered [2B_global, D] projections)."""
     step = _make_local_step(model, tx, aug=aug, temperature=temperature,
                             use_cosine=use_cosine, axis=axis, tile=tile,
-                            bond_window=bond_window,
+                            bond_window=bond_window, max_waves=max_waves,
                             ntxent_impl=ntxent_impl,
                             ntxent_interpret=ntxent_interpret,
-                            global_pairs=global_pairs)
+                            n_devices=mesh.shape[axis])
 
     def local_step(state, stacked_batch, rng):
         batch = jax.tree_util.tree_map(lambda x: x[0], stacked_batch)
@@ -177,11 +198,10 @@ def build_dp_multi_step_resident(model, tx, mesh: Mesh, *,
                                  temperature: float = 0.1,
                                  use_cosine: bool = True,
                                  axis: str = "data", tile: int = 0,
-                                 bond_window: int = 0,
+                                 bond_window: int = 0, max_waves: int = 0,
                                  ntxent_impl: str = "xla",
                                  ntxent_interpret: bool = False,
-                                 aug_precompute: bool = True,
-                                 global_pairs: int = 0):
+                                 aug_precompute: bool = True):
     """Scan-folded DP dispatch over the DEVICE-RESIDENT sharded batch
     cache: (state, stack, idxs, rng) -> (state, losses[S]).
 
@@ -194,10 +214,10 @@ def build_dp_multi_step_resident(model, tx, mesh: Mesh, *,
     flagged where the DP path forfeited the resident-cache campaign."""
     step = _make_local_step(model, tx, aug=aug, temperature=temperature,
                             use_cosine=use_cosine, axis=axis, tile=tile,
-                            bond_window=bond_window,
+                            bond_window=bond_window, max_waves=max_waves,
                             ntxent_impl=ntxent_impl,
                             ntxent_interpret=ntxent_interpret,
-                            global_pairs=global_pairs)
+                            n_devices=mesh.shape[axis])
 
     def local_multi(state, stack, idxs, rng):
         local = jax.tree_util.tree_map(lambda x: x[0], stack)  # [S_tot,...]
@@ -210,7 +230,7 @@ def build_dp_multi_step_resident(model, tx, mesh: Mesh, *,
             # batched per-dispatch augmentation: same per-device rng
             # contract as local_step (shared engine, data/augment.py)
             deltas = _dp_deltas(get_batch, n, state.step, rng, axis, aug,
-                                tile, bond_window)
+                                tile, bond_window, max_waves)
             return _scan_with_dp_deltas(step, state, get_batch, deltas,
                                         n, rng)
 
@@ -230,7 +250,7 @@ def build_dp_multi_step_resident(model, tx, mesh: Mesh, *,
 
 
 def _dp_deltas(get_batch, n, start_step, rng, axis, aug, tile,
-               bond_window):
+               bond_window, max_waves=0):
     """Per-device batched augmentation deltas for a DP scan: step i on
     device d augments with split(fold_in(fold_in(rng, start+i), d), 3)[0]
     — the exact _make_local_step rng contract. Must run inside
@@ -242,7 +262,8 @@ def _dp_deltas(get_batch, n, start_step, rng, axis, aug, tile,
         get_batch,
         lambda i: jax.random.split(jax.random.fold_in(
             jax.random.fold_in(rng, start_step + i), dev), 3)[0],
-        n, aug, tile=tile, bond_window=bond_window)
+        n, aug, tile=tile, bond_window=bond_window,
+        max_waves=max_waves)
 
 
 def _scan_with_dp_deltas(step, state, get_batch, deltas, n, rng):
@@ -282,11 +303,10 @@ def build_dp_multi_step_units(model, tx, mesh: Mesh, *,
                               aug: str = "node", temperature: float = 0.1,
                               use_cosine: bool = True,
                               axis: str = "data", tile: int = 0,
-                              bond_window: int = 0,
+                              bond_window: int = 0, max_waves: int = 0,
                               ntxent_impl: str = "xla",
                               ntxent_interpret: bool = False,
-                              aug_precompute: bool = True,
-                              global_pairs: int = 0):
+                              aug_precompute: bool = True):
     """DP fresh-composition epochs: (state, sharded_unit_stack, idx_mat,
     rng) -> (state, losses[S]). `idx_mat` is [n_dev, S, T] — per-device,
     per-step unit selections; each device regroups T of ITS OWN tile-
@@ -299,10 +319,10 @@ def build_dp_multi_step_units(model, tx, mesh: Mesh, *,
         raise ValueError("fresh-composition DP epochs need tile > 0")
     step = _make_local_step(model, tx, aug=aug, temperature=temperature,
                             use_cosine=use_cosine, axis=axis, tile=tile,
-                            bond_window=bond_window,
+                            bond_window=bond_window, max_waves=max_waves,
                             ntxent_impl=ntxent_impl,
                             ntxent_interpret=ntxent_interpret,
-                            global_pairs=global_pairs)
+                            n_devices=mesh.shape[axis])
 
     def local_multi(state, ustack, idx_mat, rng):
         from molclr_tpu.data.regroup import concat_units
@@ -314,7 +334,7 @@ def build_dp_multi_step_units(model, tx, mesh: Mesh, *,
 
         if aug_precompute and aug != "none":
             deltas = _dp_deltas(get_batch, n, state.step, rng, axis, aug,
-                                tile, bond_window)
+                                tile, bond_window, max_waves)
             return _scan_with_dp_deltas(step, state, get_batch, deltas,
                                         n, rng)
 

@@ -86,6 +86,7 @@ def build_partitioned_pretrain_step(model, tx, mesh: Mesh, *,
                                     use_cosine: bool = True,
                                     axis: str = "part", tile: int = 0,
                                     bond_window: int = 0,
+                                    max_waves: int = 0,
                                     return_grads: bool = False,
                                     ntxent_impl: str = "xla",
                                     ntxent_interpret: bool = False):
@@ -100,7 +101,8 @@ def build_partitioned_pretrain_step(model, tx, mesh: Mesh, *,
         raise ValueError("partitioned training requires tile-aligned "
                          "packing (PadSpec.tile > 0) — the tile contract "
                          "is what makes aggregation collective-free")
-    ntxent = resolve_ntxent(ntxent_impl, ntxent_interpret)
+    ntxent = resolve_ntxent(ntxent_impl, ntxent_interpret,
+                            n_devices=mesh.shape[axis])
 
     def local_step(state, batch, rng):
         batch = localize_shard(batch, axis)
@@ -113,7 +115,8 @@ def build_partitioned_pretrain_step(model, tx, mesh: Mesh, *,
         def loss_fn(params, batch_stats):
             rng_aug, rng_di, rng_dj = jax.random.split(rng, 3)
             vi, vj = paired_augment(batch, rng_aug, aug, tile=tile,
-                                    bond_window=bond_window)
+                                    bond_window=bond_window,
+                                    max_waves=max_waves)
             (_, zi), upd = model.apply(
                 {"params": params, "batch_stats": batch_stats}, vi,
                 train=True, rngs={"dropout": rng_di},

@@ -65,6 +65,19 @@ class PretrainConfig:
                                     # the opt-state structure, so resume
                                     # must use the same impl.
     aug: str = "node"               # 'node' | 'subgraph' | 'mix'
+    max_waves: int = 0              # BFS horizon for subgraph/mix. The
+                                    # reference BFS is unbounded (grows to
+                                    # 25% of atoms, dataset_subgraph.py:
+                                    # 70-88); 0 = AUTO: derive
+                                    # (max atoms per molecule - 1) from
+                                    # the corpus at setup_data — an upper
+                                    # bound on any graph eccentricity, so
+                                    # no molecule can under-remove. Small-
+                                    # molecule corpora derive a horizon
+                                    # BELOW the old fixed 32 (fewer BFS
+                                    # waves = faster); long acyclic chains
+                                    # derive more. Explicit values pin the
+                                    # horizon (e.g. benchmarking).
     valid_size: float = 0.05        # config.yaml:26
     model: ModelConfig = field(default_factory=ModelConfig)
     max_degree: int = 6

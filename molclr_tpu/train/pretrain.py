@@ -88,6 +88,8 @@ class Pretrainer:
                                      * cfg.batch_size if len(train) else 0.0)
             self._mean_real_edges = (float(train.edge_counts.mean())
                                      * cfg.batch_size if len(train) else 0.0)
+            max_atoms = (int(np.asarray(corpus.atom_counts)[keep].max())
+                         if len(keep) else 2)
         else:
             if smiles is None:
                 smiles = read_pretrain_smiles(cfg.data_path)
@@ -112,6 +114,14 @@ class Pretrainer:
             self._mean_real_edges = float(np.mean(
                 [g.edge_src.shape[0] for g in train])) * cfg.batch_size \
                 if train else 0.0
+            max_atoms = (max(g.n_atoms for g in graphs) if graphs else 2)
+        # BFS horizon for subgraph/mix: the reference BFS is unbounded
+        # (dataset_subgraph.py:70-88); max atoms - 1 upper-bounds every
+        # graph eccentricity, so wave-BFS removal can never under-remove
+        # (capped at 2000 so the rank key (max_waves+1) << 20 stays in
+        # int32 — no real molecule approaches that diameter)
+        self._max_waves = (cfg.max_waves if cfg.max_waves > 0
+                           else max(1, min(int(max_atoms) - 1, 2000)))
         self.train_iter = BatchIterator(
             train, self.spec, shuffle=True,
             drop_last=True, seed=cfg.seed,
@@ -155,6 +165,20 @@ class Pretrainer:
             # global count would undercount by process_count on pods
             steps_per_epoch = max(
                 1, steps_per_epoch // jax.local_device_count())
+            if jax.process_count() > 1:
+                # corpus_shard_range slices can differ by one batch across
+                # processes; without agreement each process would bake a
+                # DIFFERENT cosine schedule and apply different LRs to
+                # supposedly replicated params (grads are pmean'd but
+                # updates are local) — silent cross-replica divergence
+                # (ADVICE r4). min matches the s_dp agreement the units
+                # path already does in _maybe_upload_units_dp.
+                from molclr_tpu.parallel import make_mesh
+                from molclr_tpu.parallel.multihost import agree_ints
+
+                (steps_per_epoch,) = agree_ints(
+                    (steps_per_epoch,), make_mesh(axis=cfg.data_axis),
+                    cfg.data_axis, op="min")
         self._sched_steps_per_epoch = steps_per_epoch
         self.schedule = warmup_then_cosine(cfg.init_lr, steps_per_epoch,
                                            cfg.epochs, cfg.warm_up)
@@ -198,6 +222,21 @@ class Pretrainer:
                 gnn_type=self.cfg.model.gnn_type)
             return (ckpt_lib.transfer_params(imported_p, params),
                     ckpt_lib.transfer_params(imported_s, stats), None)
+        # adam_impl='chain' vs 'fused' carry structurally different opt
+        # states; a wrong-impl resume would fail deep in Orbax (or worse,
+        # partially restore). The stamp written at save time turns that
+        # into a clear, early error (ADVICE r4).
+        meta_path = os.path.join(path, "train_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                saved_impl = json.load(f).get("adam_impl")
+            if saved_impl and saved_impl != self.cfg.adam_impl:
+                raise ValueError(
+                    f"checkpoint {path} was written with adam_impl="
+                    f"{saved_impl!r} but this run has adam_impl="
+                    f"{self.cfg.adam_impl!r}; their opt states are "
+                    f"structurally different — set cfg.adam_impl="
+                    f"{saved_impl!r} to resume")
         try:
             full = ckpt_lib.load_checkpoint(path, {
                 "params": params, "batch_stats": stats,
@@ -219,15 +258,18 @@ class Pretrainer:
         # sort-free windowed bond ranking bound (0 before setup_data)
         bond_window = getattr(getattr(self, "spec", None),
                               "max_graph_bonds", 0)
+        # corpus-derived BFS horizon (setup_data; explicit cfg wins)
+        max_waves = getattr(self, "_max_waves", 0) or cfg.max_waves or 0
 
         from molclr_tpu.parallel.dp import resolve_ntxent
 
-        # 'auto': the fused Pallas kernel past the measured crossover
-        # (global 2B >= 4096; single-chip global batch = cfg.batch_size)
+        # 'auto' resolves at trace time from the ACTUAL per-call pair
+        # count (the units path trains on t*G_t graph slots, not
+        # cfg.batch_size — ADVICE r4); single-chip calls carry no
+        # axis_name, so n_devices only scales the DP estimate
         loss_impl = resolve_ntxent(
             cfg.ntxent_impl,
-            global_pairs=cfg.batch_size * (jax.device_count()
-                                           if cfg.data_axis else 1))
+            n_devices=jax.device_count() if cfg.data_axis else 1)
 
         def loss_fn(params, batch_stats, batch, rng, views=None):
             rng_aug, rng_di, rng_dj = jax.random.split(rng, 3)
@@ -236,7 +278,8 @@ class Pretrainer:
             else:
                 vi, vj = paired_augment(batch, rng_aug, cfg.aug,
                                         tile=cfg.model.tile,
-                                        bond_window=bond_window)
+                                        bond_window=bond_window,
+                                        max_waves=max_waves)
             if cfg.concat_views:
                 from molclr_tpu.data.graphs import concat_views
 
@@ -296,7 +339,8 @@ class Pretrainer:
                 get_batch,
                 lambda i: jax.random.split(
                     jax.random.fold_in(rng, start_step + i), 3)[0],
-                n, cfg.aug, tile=cfg.model.tile, bond_window=bond_window)
+                n, cfg.aug, tile=cfg.model.tile, bond_window=bond_window,
+                max_waves=max_waves)
 
         def _scan_with_deltas(state, get_batch, n, rng):
             deltas = _deltas_for(get_batch, n, state.step, rng)
@@ -376,7 +420,8 @@ class Pretrainer:
         def eval_step(state, batch, rng):
             vi, vj = paired_augment(batch, rng, cfg.aug,
                                     tile=cfg.model.tile,
-                                    bond_window=bond_window)
+                                    bond_window=bond_window,
+                                    max_waves=max_waves)
             _, zi = model.apply({"params": state.params,
                                  "batch_stats": state.batch_stats}, vi,
                                 train=False)
@@ -403,8 +448,7 @@ class Pretrainer:
                 temperature=cfg.temperature,
                 use_cosine=cfg.use_cosine_similarity, axis=cfg.data_axis,
                 tile=cfg.model.tile, bond_window=bond_window,
-                ntxent_impl=cfg.ntxent_impl,
-                global_pairs=cfg.batch_size * jax.device_count())
+                max_waves=max_waves, ntxent_impl=cfg.ntxent_impl)
             from molclr_tpu.parallel import build_dp_multi_step_resident
 
             self._dp_multi_resident = build_dp_multi_step_resident(
@@ -412,9 +456,8 @@ class Pretrainer:
                 temperature=cfg.temperature,
                 use_cosine=cfg.use_cosine_similarity, axis=cfg.data_axis,
                 tile=cfg.model.tile, bond_window=bond_window,
-                ntxent_impl=cfg.ntxent_impl,
-                aug_precompute=cfg.aug_precompute,
-                global_pairs=cfg.batch_size * jax.device_count())
+                max_waves=max_waves, ntxent_impl=cfg.ntxent_impl,
+                aug_precompute=cfg.aug_precompute)
             if cfg.model.tile > 0:
                 from molclr_tpu.parallel import build_dp_multi_step_units
 
@@ -423,10 +466,9 @@ class Pretrainer:
                     temperature=cfg.temperature,
                     use_cosine=cfg.use_cosine_similarity,
                     axis=cfg.data_axis, tile=cfg.model.tile,
-                    bond_window=bond_window,
+                    bond_window=bond_window, max_waves=max_waves,
                     ntxent_impl=cfg.ntxent_impl,
-                    aug_precompute=cfg.aug_precompute,
-                    global_pairs=cfg.batch_size * jax.device_count())
+                    aug_precompute=cfg.aug_precompute)
             else:
                 self._dp_multi_units = None
             self._train_step = None
@@ -1094,12 +1136,17 @@ class Pretrainer:
                 if (epoch + 1) % cfg.save_every_epochs == 0 and is_main:
                     # periodic checkpoints carry the FULL train state so resume
                     # continues the optimizer/schedule (unlike the reference)
-                    ckpt_lib.save_checkpoint(
+                    saved = ckpt_lib.save_checkpoint(
                         cfg.ckpt_dir, int(self.state.step),
                         {"params": self.state.params,
                          "batch_stats": self.state.batch_stats,
                          "opt_state": self.state.opt_state,
                          "step": int(self.state.step), "epoch": epoch})
+                    # sidecar stamp: which optimizer impl shaped opt_state
+                    # (resume validates it — see _resume)
+                    with open(os.path.join(saved, "train_meta.json"),
+                              "w") as f:
+                        json.dump({"adam_impl": cfg.adam_impl}, f)
                 history.append(record)
                 writer.record(record)
                 writer.scalars(int(self.state.step),

@@ -446,3 +446,73 @@ class TestPrecomputedDeltas:
         for x, y in zip(jax.tree_util.tree_leaves(a),
                         jax.tree_util.tree_leaves(b)):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestMaxWavesHorizon:
+    """The reference BFS is UNBOUNDED — it grows until 25% of atoms are
+    collected (ref dataset_subgraph.py:70-88). The on-device wave sweep
+    has a static horizon: molecules with eccentricity beyond it silently
+    under-remove. A corpus-derived horizon (max atoms - 1, the Pretrainer
+    auto default) must remove EXACTLY floor(0.25 N) on a long chain where
+    the legacy fixed 32 provably cannot."""
+
+    CHAIN_N = 200  # diameter 199; k_sub = 50 needs up to ~50+ waves
+
+    def _chain_batch(self):
+        g = featurize_smiles("C" * self.CHAIN_N)
+        assert g is not None and g.n_atoms == self.CHAIN_N
+        spec = PadSpec(n_graphs=2, n_nodes=256, n_edges=512, max_degree=4,
+                       tile=256, max_graph_bonds=self.CHAIN_N)
+        return pack_batch([g], spec)
+
+    def test_auto_horizon_always_removes_exact_count(self):
+        batch = self._chain_batch()
+        k_sub = int(0.25 * self.CHAIN_N)  # 50
+        under_removed_at_32 = 0
+        for seed in range(8):
+            for mw, expect_exact in ((self.CHAIN_N - 1, True), (32, False)):
+                vi, vj = paired_augment(batch, jax.random.PRNGKey(seed),
+                                        "subgraph", tile=256, max_waves=mw)
+                for v in (vi, vj):
+                    n = per_graph_masked_atoms(batch, v)[0]
+                    if expect_exact:
+                        assert n == k_sub, (seed, mw, n)
+                    else:
+                        assert n <= k_sub
+                        under_removed_at_32 += int(n < k_sub)
+        # the start atom is uniform on the chain, so most draws sit within
+        # 50 waves of one end... only starts in the middle reach 50 atoms
+        # within 32 waves (two-sided growth); ends cannot. 8 seeds x 2
+        # views make a miss astronomically unlikely.
+        assert under_removed_at_32 > 0, \
+            "fixed 32-wave horizon unexpectedly sufficed on a 200-chain"
+
+    def test_mix_horizon_subgraph_phase(self):
+        """mix's subgraph phase honors max_waves too: with the auto
+        horizon the removal target (U(0,0.2) fraction) is always met in
+        full, so total masked atoms reach the 25% top-up exactly."""
+        batch = self._chain_batch()
+        vi, _ = paired_augment(batch, jax.random.PRNGKey(3), "mix",
+                               tile=256, bond_window=self.CHAIN_N,
+                               max_waves=self.CHAIN_N - 1)
+        n = per_graph_masked_atoms(batch, vi)[0]
+        assert n == int(0.25 * self.CHAIN_N)
+
+    def test_pretrainer_auto_derives_corpus_bound(self, tmp_path):
+        from molclr_tpu.train.config import PretrainConfig
+        from molclr_tpu.train.pretrain import Pretrainer
+
+        smiles = ["C" * 60, "CCO", "c1ccccc1"] * 40
+        cfg = PretrainConfig(batch_size=8, epochs=1, model=__import__(
+            "molclr_tpu.train.config", fromlist=["ModelConfig"]
+        ).ModelConfig(num_layers=2, emb_dim=16, feat_dim=32, tile=64),
+            aug="subgraph", valid_size=0.1, seed=0,
+            featurize_processes=0, ckpt_dir=str(tmp_path))
+        p = Pretrainer(cfg).setup_data(smiles)
+        assert p._max_waves == 59          # max atoms 60 -> horizon 59
+        cfg2 = PretrainConfig(max_waves=17, batch_size=8, epochs=1,
+                              aug="subgraph", valid_size=0.1, seed=0,
+                              featurize_processes=0,
+                              ckpt_dir=str(tmp_path))
+        p2 = Pretrainer(cfg2).setup_data(smiles)
+        assert p2._max_waves == 17         # explicit value wins

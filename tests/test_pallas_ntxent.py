@@ -51,10 +51,56 @@ def test_loss_scale_grad():
                                rtol=1e-4, atol=1e-8)
 
 
-def test_bad_batch_size():
-    zis = jnp.ones((50, 128))
-    with pytest.raises(ValueError, match="multiple of 128"):
-        nt_xent_pallas(zis, zis, 0.1, interpret=True)
+@pytest.mark.parametrize("b", [50, 1, 130])
+def test_odd_batch_padding_matches_xla(b):
+    """Kernel-illegal pair counts (not a multiple of 64) are padded with
+    dead pairs internally — the fresh-compositions units path trains on
+    t*G_t graph slots, a data-dependent count that is almost never
+    kernel-aligned (ADVICE r4 high). Loss and grads must match the XLA
+    closed form exactly."""
+    d = 128
+    rng = np.random.RandomState(b)
+    zis = jnp.array(rng.randn(b, d), jnp.float32)
+    zjs = jnp.array(rng.randn(b, d), jnp.float32)
+    ref = float(nt_xent_loss(zis, zjs, 0.1, True))
+    got = float(nt_xent_pallas(zis, zjs, 0.1, True, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+    g_ref = jax.grad(lambda a: nt_xent_loss(a, zjs, 0.1, True))(zis)
+    g_pal = jax.grad(lambda a: nt_xent_pallas(a, zjs, 0.1, True,
+                                              interpret=True))(zis)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_odd_batch_padding_with_mask():
+    """Padding composes with a caller-supplied pair_mask."""
+    b, d = 50, 128
+    rng = np.random.RandomState(99)
+    zis = jnp.array(rng.randn(b, d), jnp.float32)
+    zjs = jnp.array(rng.randn(b, d), jnp.float32)
+    mask = jnp.arange(b) < 37
+    ref = float(nt_xent_loss(zis, zjs, 0.1, True, pair_mask=mask))
+    got = float(nt_xent_pallas(zis, zjs, 0.1, True, pair_mask=mask,
+                               interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_auto_resolution_defers_to_pair_count():
+    """resolve_ntxent('auto') must decide from the per-call pair count,
+    not a config-derived static batch size: an 11-pair call (2B=22 <
+    4096) takes the XLA path; a 2500-pair call (2B=5000) takes the
+    kernel — and runs despite 5000 not being kernel-aligned (padded to
+    2B=5120 internally). Both must match the closed form."""
+    from molclr_tpu.parallel.dp import resolve_ntxent
+
+    fn = resolve_ntxent("auto", interpret=True)
+    rng = np.random.RandomState(5)
+    for b in (11, 2500):
+        zis = jnp.array(rng.randn(b, 64), jnp.float32)
+        zjs = jnp.array(rng.randn(b, 64), jnp.float32)
+        ref = float(nt_xent_loss(zis, zjs, 0.1, True))
+        got = float(fn(zis, zjs, 0.1, True))
+        np.testing.assert_allclose(got, ref, rtol=1e-5)
 
 
 @pytest.mark.parametrize("n_real", [40, 64])

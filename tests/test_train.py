@@ -153,6 +153,34 @@ class TestFullStateResume:
         assert len(hist) == 2                           # epochs 2 and 3 only
         assert int(p2.state.step) > steps_after_2
 
+    def test_adam_impl_mismatch_raises_early(self, tmp_path):
+        """chain vs fused Adam carry structurally different opt states;
+        resuming with the wrong impl must fail with a CLEAR error, not a
+        deep Orbax mismatch (or a silent partial restore) — ADVICE r4."""
+        import pytest
+
+        from molclr_tpu.train.checkpoints import latest_checkpoint
+
+        base = dict(batch_size=32, warm_up=1, model=SMALL, aug="node",
+                    valid_size=0.1, seed=0, featurize_processes=0,
+                    eval_every_epochs=100)
+        smiles = synthetic_corpus(200, seed=2)
+        cfg1 = PretrainConfig(epochs=1, save_every_epochs=1,
+                              adam_impl="chain",
+                              ckpt_dir=str(tmp_path / "a"), **base)
+        p1 = Pretrainer(cfg1).setup_data(smiles)
+        p1.setup_state(next(iter(p1.train_iter))[0])
+        p1.train(log=lambda *_: None)
+        ckpt = latest_checkpoint(cfg1.ckpt_dir)
+
+        cfg2 = PretrainConfig(epochs=2, save_every_epochs=100,
+                              adam_impl="fused",
+                              ckpt_dir=str(tmp_path / "b"),
+                              resume_from=ckpt, **base)
+        p2 = Pretrainer(cfg2).setup_data(smiles)
+        with pytest.raises(ValueError, match="adam_impl"):
+            p2.setup_state(next(iter(p2.train_iter))[0])
+
     def test_weights_only_resume_still_works(self, tmp_path):
         base = dict(batch_size=32, warm_up=1, model=SMALL, aug="node",
                     valid_size=0.1, seed=0, featurize_processes=0,

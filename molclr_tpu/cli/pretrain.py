@@ -32,6 +32,17 @@ def main(argv=None) -> int:
     p.add_argument("--device-cache-mb", type=int, default=None,
                    help="HBM budget for the resident batch cache "
                         "(0 = keep batches host-side)")
+    p.add_argument("--pack-cache-max-mols", type=int, default=None,
+                   help="corpora up to this size are eligible for the "
+                        "resident unit/batch caches (default 500k; raise "
+                        "for device-bound PubChem-10M epochs — the "
+                        "narrow unit stack fits one v5e's HBM)")
+    p.add_argument("--narrow-cache", choices=["auto", "on", "off"],
+                   default=None,
+                   help="store the resident tile-unit stack in narrow "
+                        "wire dtypes (~2.4x fewer HBM bytes; identical "
+                        "numerics). auto = only when full width exceeds "
+                        "--device-cache-mb")
     p.add_argument("--synthetic", type=int, default=0, metavar="N",
                    help="generate an N-molecule synthetic corpus if the "
                         "data path is missing")
@@ -82,6 +93,10 @@ def main(argv=None) -> int:
         cfg.steps_per_dispatch = args.steps_per_dispatch
     if args.device_cache_mb is not None:
         cfg.device_cache_mb = args.device_cache_mb
+    if args.pack_cache_max_mols is not None:
+        cfg.pack_cache_max_mols = args.pack_cache_max_mols
+    if args.narrow_cache is not None:
+        cfg.narrow_cache = args.narrow_cache
     if args.profile_dir:
         cfg.profile_dir = args.profile_dir
     if args.resume:

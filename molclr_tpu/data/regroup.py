@@ -104,20 +104,36 @@ def pack_unit_stack(graphs, tile: int, max_degree: int = 6,
 def concat_units(stack, idx):
     """Jittable vectorized concat_shards over a unit stack.
 
-    stack: GraphBatch pytree with a leading unit axis [U, ...];
+    stack: GraphBatch pytree with a leading unit axis [U, ...] — OR a
+    plain dict of the same fields in NARROW wire dtypes (int8/int16
+    indices, uint8 masks; train/pretrain.Pretrainer narrows the resident
+    stack when the full-width bytes exceed the HBM budget, the 10M-corpus
+    configuration). Narrow fields are widened to int32/bool right after
+    the [T]-row take (per-unit values are bounded by the UNIT spec, so
+    the narrow storage is exact; the concat offsets are added post-widen
+    in int32).
     idx: int32 [T] unit ids. Returns one GraphBatch with T*tile nodes,
     T*G_t graphs, T*E_t edges — bit-identical to
     concat_shards([units[i] for i in idx])."""
     import jax.numpy as jnp
 
+    narrow = isinstance(stack, dict)
+    get = (stack.__getitem__ if narrow
+           else lambda f: getattr(stack, f))
     t = idx.shape[0]
-    n = stack.atom_type.shape[1]          # tile
-    g = stack.graph_mask.shape[1]         # G_t
-    bmax = stack.bond_graph.shape[1]      # B_t
+    n = get("atom_type").shape[1]         # tile
+    g = get("graph_mask").shape[1]        # G_t
+    bmax = get("bond_graph").shape[1]     # B_t
     off = jnp.arange(t, dtype=jnp.int32)
 
     def take(field):
-        return jnp.take(getattr(stack, field), idx, axis=0)
+        y = jnp.take(get(field), idx, axis=0)
+        if narrow:
+            if y.dtype in (jnp.dtype(jnp.uint8), jnp.dtype(jnp.bool_)):
+                y = y.astype(jnp.bool_)
+            else:
+                y = y.astype(jnp.int32)
+        return y
 
     def flat(field):
         y = take(field)
@@ -170,3 +186,90 @@ def epoch_unit_orders(n_units: int, units_per_batch: int, seed: int,
     perm = rng.permutation(n_units).astype(np.int32)
     s = n_units // units_per_batch
     return perm[: s * units_per_batch].reshape(s, units_per_batch)
+
+
+def plan_corpus_units(subset, tile: int, max_degree: int = 6,
+                      seed: int = 0):
+    """Corpus-scale unit planning WITHOUT materializing Python MolGraphs:
+    greedy first-fit over a seeded shuffle of the subset, driven by the
+    corpus's vectorized atom/edge counts. Returns (id_groups — list of
+    int32 corpus-molecule-id arrays, one per unit — and the static unit
+    PadSpec). The sequential first-fit loop over counts is the only
+    Python-per-molecule cost (~3 s at 10M)."""
+    order = np.random.RandomState(seed).permutation(len(subset))
+    ids = np.asarray(subset.ids)[order].astype(np.int32)
+    atoms = np.asarray(subset.atom_counts)[order]
+    edges = np.asarray(subset.edge_counts)[order]
+    if atoms.size and int(atoms.max()) > tile:
+        raise ValueError(
+            f"molecule with {int(atoms.max())} atoms exceeds tile {tile}")
+    bounds = [0]
+    acc = 0
+    for i, c in enumerate(atoms.tolist()):
+        if acc + c > tile:
+            bounds.append(i)
+            acc = 0
+        acc += c
+    bounds.append(len(atoms))
+    bounds = np.asarray(bounds, np.int64)
+    sizes = np.diff(bounds)
+    group_edges = np.add.reduceat(edges, bounds[:-1]) if len(sizes) else \
+        np.zeros(0, np.int64)
+    g_t = int(sizes.max()) if len(sizes) else 1
+    e_t = int(group_edges.max()) if len(sizes) else 2
+    e_t = -(-e_t // 2) * 2
+    max_bonds = int(edges.max()) // 2 if edges.size else 1
+    uspec = PadSpec(n_graphs=g_t, n_nodes=tile, n_edges=max(e_t, 2),
+                    max_degree=max_degree, tile=tile,
+                    max_graph_bonds=max_bonds)
+    id_groups = [ids[bounds[i]:bounds[i + 1]]
+                 for i in range(len(bounds) - 1)]
+    return id_groups, uspec
+
+
+def unit_stack_bytes(uspec: PadSpec, n_units: int,
+                     narrow: dict | None = None) -> int:
+    """Host/HBM bytes of a [U, ...] unit stack under the given storage
+    (narrow wire dtypes or full int32/bool)."""
+    n, e, g, k = uspec.n_nodes, uspec.n_edges, uspec.n_graphs, \
+        uspec.ell_slots
+    bn = uspec.n_bonds
+    fields = {
+        "atom_type": n, "chirality": n, "node_graph": n, "node_mask": n,
+        "src": e, "dst": e, "bond_type": e, "bond_dir": e,
+        "edge_bond": e, "edge_mask": e,
+        "nbr": n * k, "nbr_bond_type": n * k, "nbr_bond_dir": n * k,
+        "nbr_bond": n * k, "nbr_mask": n * k,
+        "bond_graph": bn, "bond_mask": bn,
+        "graph_mask": g, "graph_n_nodes": g, "graph_n_bonds": g,
+    }
+    total = 0
+    for f, cnt in fields.items():
+        if narrow:
+            itemsize = np.dtype(narrow[f]).itemsize
+        else:
+            itemsize = 1 if f.endswith("mask") else 4
+        total += cnt * itemsize
+    return total * n_units
+
+
+def pack_unit_stack_corpus(subset, tile: int, max_degree: int = 6,
+                           seed: int = 0, narrow: dict | None = None,
+                           progress=None):
+    """Corpus-scale analog of pack_unit_stack: plan units from the
+    vectorized counts (plan_corpus_units) and pack them with the native
+    ragged packer (native.pack_unit_stack_indexed) straight from the
+    memory-mapped buffers. Returns (stack_dict [U, ...], uspec, n_units)
+    — stack fields in `narrow` wire dtypes when given (concat_units
+    widens them on-device after the per-step row take) — or None when
+    the native library is unavailable."""
+    from molclr_tpu import native
+
+    if not native.native_available():
+        return None
+    id_groups, uspec = plan_corpus_units(subset, tile, max_degree, seed)
+    stack = native.pack_unit_stack_indexed(
+        subset.corpus, id_groups, uspec, narrow=narrow, progress=progress)
+    if stack is None:
+        return None
+    return stack, uspec, len(id_groups)

@@ -118,18 +118,45 @@ def write_pretrain_corpus(path: str, n: int, seed: int = 0) -> None:
 
 
 def write_task_csv(path: str, spec: TaskSpec, n: int, seed: int = 0,
-                   label_noise: float = 0.0) -> None:
+                   label_noise: float = 0.0,
+                   pathologies: bool = False) -> None:
     """MoleculeNet-format CSV: a 'smiles' column plus one column per target
-    (ref dataset/dataset_test.py:94-111 reads by DictReader)."""
+    (ref dataset/dataset_test.py:94-111 reads by DictReader).
+
+    Every fabricated CSV carries a `_synthetic` marker column: the
+    fine-tune loader sniffs it and stamps all reported results
+    synthetic=true even when the file pre-exists on disk, so fabricated
+    data can never silently masquerade as MoleculeNet numbers.
+
+    pathologies=True fabricates the REAL datasets' messiness on the
+    exact schema (the 13-task dress rehearsal): extra DeepChem-style
+    metadata columns (mol_id, name), a per-target ~8% of EMPTY labels
+    with a different missing pattern per column (exercising the
+    row-set-mismatch fallback from the vmapped multi-target program to
+    the reference's sequential per-target loop), and ~2% unparseable
+    SMILES rows (the reference drops them, dataset_test.py:102-104)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     rng = np.random.RandomState(seed)
     rows = []
-    for s in synthetic_corpus(n, seed):
+    bad_smiles = ["C1CC", "[Zz]", "C==C", "(("]
+    for i, s in enumerate(synthetic_corpus(n, seed)):
         mol = parse_smiles(s, strict=False)
         if mol is None:
             continue
-        row = {"smiles": s}
+        row = {"smiles": s, "_synthetic": "true"}
+        if pathologies:
+            row["mol_id"] = f"SYN-{i:06d}"
+            row["name"] = f"synthetic-{i}"
         for ti, tgt in enumerate(spec.targets):
+            # real multi-task CLASSIFICATION sets (Tox21/SIDER/MUV/
+            # ClinTox) carry per-column missing labels; the regression
+            # sets (ESOL/FreeSolv/Lipo/qm7-9) are fully labeled — so the
+            # rehearsal exercises BOTH the sequential fallback and the
+            # coinciding-rows vmapped multi-target program
+            if (pathologies and spec.task == "classification"
+                    and len(rows) > 0 and rng.rand() < 0.08):
+                row[tgt] = ""          # missing label for THIS column
+                continue
             if spec.task == "classification":
                 y = synthetic_label(mol, ti)
                 if label_noise and rng.rand() < label_noise:
@@ -140,7 +167,17 @@ def write_task_csv(path: str, spec: TaskSpec, n: int, seed: int = 0,
                     synthetic_property(mol) + 0.05 * ti
                     + (rng.randn() * label_noise if label_noise else 0.0), 4)
         rows.append(row)
+        if pathologies and rng.rand() < 0.02:
+            bad = {"smiles": bad_smiles[i % len(bad_smiles)],
+                   "_synthetic": "true", "mol_id": f"BAD-{i:06d}",
+                   "name": "unparseable"}
+            for ti, tgt in enumerate(spec.targets):
+                bad[tgt] = 0 if spec.task == "classification" else 0.0
+            rows.append(bad)
+    cols = ["smiles", "_synthetic", *spec.targets]
+    if pathologies:
+        cols = ["mol_id", "name", "smiles", "_synthetic", *spec.targets]
     with open(path, "w", newline="") as f:
-        writer = csv.DictWriter(f, fieldnames=["smiles", *spec.targets])
+        writer = csv.DictWriter(f, fieldnames=cols)
         writer.writeheader()
         writer.writerows(rows)

@@ -433,3 +433,118 @@ def pack_superbatch_indexed(corpus, ids_mat, spec):
               "graph_mask"):
         out[k] = out[k].view(bool)
     return GraphBatch(**out)
+
+
+def pack_unit_stack_indexed(corpus, id_groups, spec, narrow=None,
+                            chunk=2048, progress=None):
+    """Pack RAGGED per-unit molecule-id groups into a [U, ...] stacked
+    dict straight from the memory-mapped corpus buffers — the corpus-
+    scale tile-unit packer (data/regroup.pack_unit_stack materializes a
+    Python MolGraph per molecule; at PubChem-10M that alone is minutes,
+    while this is one C call per unit on mmap'd buffers).
+
+    id_groups: list of int32 arrays of corpus molecule ids (one group =
+    one unit; variable length <= spec.n_graphs). narrow: optional
+    {field: np.dtype} wire map — units are packed full-width into a
+    [chunk, ...] scratch and astype'd into the narrow output per chunk,
+    so host RAM holds the narrow stack plus one scratch chunk. Returns
+    {field: np.ndarray[U, ...]} (masks uint8 under `narrow`, bool
+    otherwise), or None if the native library is unavailable."""
+    from molclr_tpu.data.graphs import PackOverflow
+
+    lib = _load()
+    if lib is None:
+        return None
+    U = len(id_groups)
+    N, E, G, K = spec.n_nodes, spec.n_edges, spec.n_graphs, spec.ell_slots
+    Bn = spec.n_bonds
+    shapes = {
+        "atom_type": (N, np.int32), "chirality": (N, np.int32),
+        "node_graph": (N, np.int32), "node_mask": (N, np.uint8),
+        "src": (E, np.int32), "dst": (E, np.int32),
+        "bond_type": (E, np.int32), "bond_dir": (E, np.int32),
+        "edge_bond": (E, np.int32), "edge_mask": (E, np.uint8),
+        "nbr": ((N, K), np.int32), "nbr_bond_type": ((N, K), np.int32),
+        "nbr_bond_dir": ((N, K), np.int32), "nbr_bond": ((N, K), np.int32),
+        "nbr_mask": ((N, K), np.uint8),
+        "bond_graph": (Bn, np.int32), "bond_mask": (Bn, np.uint8),
+        "graph_mask": (G, np.uint8), "graph_n_nodes": (G, np.int32),
+        "graph_n_bonds": (G, np.int32),
+    }
+
+    def shp(s):
+        return s if isinstance(s, tuple) else (s,)
+
+    out = {k: np.empty((U,) + shp(s),
+                       (narrow[k] if narrow else d))
+           for k, (s, d) in shapes.items()}
+    c = min(chunk, U)
+    scratch = {k: np.empty((c,) + shp(s), d) for k, (s, d) in shapes.items()}
+
+    def p32(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    def p64(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    def pu8(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    c_at = p32(corpus._node["atom_type"])
+    c_ch = p32(corpus._node["chirality"])
+    c_es = p32(corpus._edge["edge_src"])
+    c_ed = p32(corpus._edge["edge_dst"])
+    c_bt = p32(corpus._edge["bond_type"])
+    c_bd = p32(corpus._edge["bond_dir"])
+    c_ao = p64(corpus.aoff)
+    c_eo = p64(corpus.eoff)
+
+    n_dropped = 0
+    for lo in range(0, U, c):
+        hi = min(lo + c, U)
+        for u in range(lo, hi):
+            ids = np.ascontiguousarray(id_groups[u], np.int32)
+            s = u - lo
+            while True:
+                o = {k: scratch[k][s] for k in scratch}
+                rc = lib.mtpu_pack_batch_indexed(
+                    c_at, c_ch, c_ao, c_es, c_ed, c_bt, c_bd, c_eo,
+                    p32(ids), len(ids), N, E, K, spec.tile,
+                    p32(o["atom_type"]), p32(o["chirality"]),
+                    p32(o["node_graph"]), pu8(o["node_mask"]),
+                    p32(o["src"]), p32(o["dst"]), p32(o["bond_type"]),
+                    p32(o["bond_dir"]), p32(o["edge_bond"]),
+                    pu8(o["edge_mask"]),
+                    p32(o["nbr"]), p32(o["nbr_bond_type"]),
+                    p32(o["nbr_bond_dir"]), p32(o["nbr_bond"]),
+                    pu8(o["nbr_mask"]),
+                    p32(o["bond_graph"]), pu8(o["bond_mask"]),
+                    pu8(o["graph_mask"]), p32(o["graph_n_nodes"]),
+                    p32(o["graph_n_bonds"]), G)
+                if rc == 0:
+                    break
+                if rc == -1:
+                    raise PackOverflow(
+                        f"node degree exceeds max_degree "
+                        f"{spec.max_degree}")
+                if rc == -2:
+                    return None
+                # rc-1 is the exact offending molecule: drop and repack
+                ids = np.ascontiguousarray(np.delete(ids, rc - 1),
+                                           np.int32)
+                n_dropped += 1
+        for k in out:
+            out[k][lo:hi] = scratch[k][: hi - lo]
+        if progress is not None:
+            progress(hi, U)
+    if n_dropped:
+        import warnings
+
+        warnings.warn(
+            f"PackOverflow: dropped {n_dropped} molecule(s) while "
+            f"packing the unit stack (spec {spec})", stacklevel=2)
+    if not narrow:
+        for k in ("node_mask", "edge_mask", "nbr_mask", "bond_mask",
+                  "graph_mask"):
+            out[k] = out[k].view(bool)
+    return out

@@ -140,6 +140,19 @@ class PretrainConfig:
                                     # scan dispatches over index vectors —
                                     # no per-step host->device transfers
                                     # (0 disables; single-chip path only)
+    narrow_cache: str = "auto"      # store the resident tile-unit stack
+                                    # in NARROW wire dtypes (int8/int16
+                                    # indices, uint8 masks — ~2.4x fewer
+                                    # bytes; concat_units widens on-device
+                                    # after the per-step row take).
+                                    # 'auto': narrow only when full width
+                                    # exceeds device_cache_mb (this is
+                                    # what makes a PubChem-10M unit stack
+                                    # fit one v5e's HBM); 'on'/'off'
+                                    # force. Loss streams are identical
+                                    # either way (narrowing is exact:
+                                    # per-unit values are bounded by the
+                                    # unit spec).
     profile_dir: str = ""           # write a jax.profiler trace of the first
                                     # few dispatches of epoch 0 here
     tensorboard: bool = False       # also write TB scalars into ckpt_dir

@@ -77,6 +77,19 @@ def resolve_task_csv(cfg: FineTuneConfig, spec: TaskSpec) -> tuple[str, bool]:
             f"reflect the real {spec.name} task.", stacklevel=2)
         write_task_csv(path, spec, n=cfg.synthetic_n, seed=cfg.seed)
         return path, True
+    # fabricated CSVs self-mark with a `_synthetic` column (even when the
+    # file pre-exists, e.g. the 13-task dress rehearsal writes
+    # pathological synthetic CSVs up front): sniff the header so those
+    # runs stay stamped synthetic=true in every reported result
+    try:
+        import csv as _csv
+
+        with open(path, newline="") as f:
+            header = next(_csv.reader(f), [])
+        if "_synthetic" in header:
+            return path, True
+    except OSError:
+        pass
     return path, False
 
 

@@ -49,6 +49,15 @@ def main() -> int:
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--batch-size", type=int, default=512)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--resident", action="store_true",
+                   help="device-bound epochs: pack the corpus into the "
+                        "narrow tile-unit stack and keep it HBM-resident "
+                        "(one-time pack+upload; epochs then move only "
+                        "index matrices over the wire) instead of "
+                        "streaming batches per step")
+    p.add_argument("--device-cache-mb", type=int, default=None)
+    p.add_argument("--steps-per-dispatch", type=int, default=None)
+    p.add_argument("--out", default="runs/soak_10m.json")
     args = p.parse_args()
 
     import jax
@@ -69,6 +78,17 @@ def main() -> int:
         ckpt_dir="runs/soak10m_ckpt", log_every_steps=2000,
         model=ModelConfig(gnn_type="gin", num_layers=5, emb_dim=300,
                           feat_dim=512, tile=256, bf16=True))
+    if args.resident:
+        # narrow HBM-resident unit stack (VERDICT r4 weak #1): ~8 GB of
+        # int8/int16 units for the full 10M corpus on one v5e
+        cfg.pack_cache_max_mols = 20_000_000
+        cfg.device_cache_mb = 13_000
+        cfg.steps_per_dispatch = 256   # bounds the per-dispatch aug
+                                       # precompute deltas (~65 MB)
+    if args.device_cache_mb is not None:
+        cfg.device_cache_mb = args.device_cache_mb
+    if args.steps_per_dispatch is not None:
+        cfg.steps_per_dispatch = args.steps_per_dispatch
     t0 = time.time()
     pre = Pretrainer(cfg).setup_data()
     setup_s = time.time() - t0
@@ -82,6 +102,10 @@ def main() -> int:
     tracker._stop = True
 
     out = {
+        "mode": "resident" if args.resident else "streamed",
+        "units_active": pre._unit_stack is not None,
+        "narrow": isinstance(pre._unit_stack, dict),
+        "device_cache_used_mb": round(pre._device_cache_used_mb, 1),
         "corpus": args.corpus,
         "n_train_mols": n_train,
         "steps_per_epoch": len(pre.train_iter),
@@ -92,7 +116,7 @@ def main() -> int:
         "train_loss": [round(h["train_loss"], 4) for h in history],
         "max_rss_mb": round(tracker.max_mb, 1),
     }
-    with open("runs/soak_10m.json", "w") as f:
+    with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
     return 0

@@ -286,3 +286,154 @@ class TestUnitsResume:
         got = [h["train_loss"] for h in hist_res]
         want = [h["train_loss"] for h in hist_full[2:]]
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+class TestNarrowUnitStack:
+    """Narrow (wire-dtype) resident unit stacks — the storage that makes
+    a PubChem-10M unit stack fit one v5e's HBM (VERDICT r4 weak #1) —
+    must be EXACT: concat_units over the narrow dict bit-matches the
+    full-width GraphBatch stack, the corpus-native packer bit-matches
+    the Python packer, and Pretrainer loss streams are identical under
+    narrow_cache on/off."""
+
+    @staticmethod
+    def _graphs(n=80, seed=5):
+        from molclr_tpu.data import featurize_smiles
+        from molclr_tpu.data.synthetic import synthetic_corpus
+
+        return [g for g in (featurize_smiles(s)
+                            for s in synthetic_corpus(n, seed=seed))
+                if g is not None and g.max_degree <= 6]
+
+    def test_concat_units_narrow_matches_wide(self):
+        import jax
+
+        from molclr_tpu.data.regroup import concat_units, pack_unit_stack
+        from molclr_tpu.train.pretrain import Pretrainer
+
+        graphs = self._graphs()
+        stack, uspec, units = pack_unit_stack(graphs, 32, seed=3)
+        wire = Pretrainer._wire_dtypes(uspec)
+        narrow = {f: np.asarray(getattr(stack, f)).astype(d)
+                  for f, d in wire.items()}
+        idx = jnp.asarray([4, 0, 7, 2], jnp.int32)
+        wide_b = concat_units(jax.device_put(stack), idx)
+        narr_b = concat_units(jax.device_put(narrow), idx)
+        for f in wire:
+            a, b = np.asarray(getattr(wide_b, f)), \
+                np.asarray(getattr(narr_b, f))
+            assert a.dtype == b.dtype, (f, a.dtype, b.dtype)
+            np.testing.assert_array_equal(a, b, err_msg=f)
+
+    def test_corpus_packer_matches_python_packer(self, tmp_path):
+        from molclr_tpu import native
+        from molclr_tpu.data.corpus import CorpusSubset, DiskCorpus, \
+            build_corpus
+        from molclr_tpu.data.regroup import (
+            pack_unit_stack,
+            pack_unit_stack_corpus,
+            plan_corpus_units,
+            unit_stack_bytes,
+        )
+        from molclr_tpu.data.synthetic import synthetic_corpus
+
+        if not native.native_available():
+            import pytest
+
+            pytest.skip("native library unavailable")
+        smiles = synthetic_corpus(90, seed=9)
+        build_corpus(iter(smiles), str(tmp_path / "c"), chunk_size=37)
+        corpus = DiskCorpus(str(tmp_path / "c"))
+        keep = np.flatnonzero(np.asarray(corpus.max_degrees) <= 6)
+        sub = CorpusSubset(corpus, keep)
+        graphs = [sub[i] for i in range(len(sub))]
+
+        ref_stack, ref_spec, ref_units = pack_unit_stack(graphs, 32,
+                                                         seed=11)
+        got = pack_unit_stack_corpus(sub, 32, seed=11)
+        assert got is not None
+        stack, uspec, n_units = got
+        assert uspec == ref_spec
+        assert n_units == len(ref_units)
+        for f in stack:
+            ref = np.asarray(getattr(ref_stack, f))
+            np.testing.assert_array_equal(
+                np.asarray(stack[f]), ref, err_msg=f)
+        # byte accounting matches the actual arrays (both widths)
+        wide_bytes = sum(np.asarray(x).nbytes
+                         for x in stack.values())
+        assert unit_stack_bytes(uspec, n_units) == wide_bytes
+        from molclr_tpu.train.pretrain import Pretrainer
+
+        wire = Pretrainer._wire_dtypes(uspec)
+        got_n = pack_unit_stack_corpus(sub, 32, seed=11, narrow=wire)
+        nstack = got_n[0]
+        assert unit_stack_bytes(uspec, n_units, wire) == sum(
+            v.nbytes for v in nstack.values())
+        for f in nstack:
+            np.testing.assert_array_equal(
+                nstack[f].astype(np.int64),
+                np.asarray(getattr(ref_stack, f)).astype(np.int64),
+                err_msg=f)
+
+    def test_pretrainer_narrow_loss_stream_identical(self, tmp_path):
+        from molclr_tpu.data.synthetic import synthetic_corpus
+        from molclr_tpu.train.config import ModelConfig, PretrainConfig
+        from molclr_tpu.train.pretrain import Pretrainer
+
+        smiles = synthetic_corpus(300, seed=2)
+        hist = {}
+        for mode in ("off", "on"):
+            cfg = PretrainConfig(
+                batch_size=32, epochs=3, warm_up=1, aug="node",
+                valid_size=0.1, seed=0, featurize_processes=0,
+                eval_every_epochs=100, save_every_epochs=100,
+                narrow_cache=mode,
+                ckpt_dir=str(tmp_path / f"pre_{mode}"),
+                model=ModelConfig(num_layers=2, emb_dim=32, feat_dim=64,
+                                  tile=64))
+            p = Pretrainer(cfg).setup_data(smiles)
+            p.setup_state(next(iter(p.train_iter))[0])
+            h = p.train(log=lambda *_: None)
+            assert p._unit_stack is not None     # units path active
+            assert isinstance(p._unit_stack, dict) == (mode == "on")
+            hist[mode] = [e["train_loss"] for e in h]
+        assert hist["on"] == hist["off"]
+
+    def test_pretrainer_corpus_units_path(self, tmp_path):
+        """DiskCorpus-backed Pretrainer activates the corpus-native unit
+        packer and trains; with narrow_cache='on' the stack is narrow
+        and the loss stream matches the in-memory graphs path."""
+        from molclr_tpu import native
+        from molclr_tpu.data.corpus import build_corpus
+        from molclr_tpu.data.synthetic import synthetic_corpus
+        from molclr_tpu.train.config import ModelConfig, PretrainConfig
+        from molclr_tpu.train.pretrain import Pretrainer
+
+        if not native.native_available():
+            import pytest
+
+            pytest.skip("native library unavailable")
+        smiles = synthetic_corpus(300, seed=2)
+        build_corpus(iter(smiles), str(tmp_path / "c"), chunk_size=64)
+        hist = {}
+        for mode in ("off", "on"):
+            cfg = PretrainConfig(
+                data_path=str(tmp_path / "c"),
+                batch_size=32, epochs=2, warm_up=1, aug="subgraph",
+                valid_size=0.1, seed=0, featurize_processes=0,
+                eval_every_epochs=100, save_every_epochs=100,
+                narrow_cache=mode, ckpt_dir=str(tmp_path / f"p_{mode}"),
+                model=ModelConfig(num_layers=2, emb_dim=32, feat_dim=64,
+                                  tile=64))
+            p = Pretrainer(cfg).setup_data()
+            p.setup_state(next(iter(p.train_iter))[0])
+            h = p.train(log=lambda *_: None)
+            # the corpus-native packer always returns a dict stack; the
+            # narrow mode shows in the STORAGE dtypes
+            assert isinstance(p._unit_stack, dict)
+            at_dtype = np.dtype(p._unit_stack["atom_type"].dtype)
+            assert (at_dtype == np.int8) == (mode == "on"), at_dtype
+            hist[mode] = [e["train_loss"] for e in h]
+            assert all(np.isfinite(hist[mode]))
+        assert hist["on"] == hist["off"]

@@ -547,9 +547,24 @@ class TestSyntheticFallbackGuard:
         with pytest.warns(UserWarning, match="SYNTHETIC"):
             path, synthetic = resolve_task_csv(cfg, TASKS["BBBP"])
         assert synthetic and path.endswith(".csv")
-        # present CSV: no warning, synthetic=False
+        # pre-existing FABRICATED CSV: no warning, but STILL stamped —
+        # fabricated files carry a `_synthetic` marker column so they
+        # can never masquerade as MoleculeNet data across runs (r5)
         path2, synthetic2 = resolve_task_csv(cfg, TASKS["BBBP"])
-        assert path2 == path and not synthetic2
+        assert path2 == path and synthetic2
+        # a genuine user CSV (no marker column) is NOT stamped
+        import csv as _csv
+
+        root2 = tmp_path / "realdata"
+        real = root2 / "bbbp" / "BBBP.csv"
+        real.parent.mkdir(parents=True)
+        with open(real, "w", newline="") as f:
+            w = _csv.DictWriter(f, fieldnames=["smiles", "p_np"])
+            w.writeheader()
+            w.writerow({"smiles": "CCO", "p_np": 1})
+        cfg2 = FineTuneConfig(task_name="BBBP", data_root=str(root2))
+        path3, synthetic3 = resolve_task_csv(cfg2, TASKS["BBBP"])
+        assert path3 == str(real) and not synthetic3
 
     def test_experiments_csv_stamped(self, tmp_path, monkeypatch):
         monkeypatch.chdir(tmp_path)

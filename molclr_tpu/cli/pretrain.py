@@ -43,6 +43,16 @@ def main(argv=None) -> int:
                         "wire dtypes (~2.4x fewer HBM bytes; identical "
                         "numerics). auto = only when full width exceeds "
                         "--device-cache-mb")
+    p.add_argument("--valid-size", type=float, default=None,
+                   help="validation fraction (reference 0.05; large "
+                        "corpora want less — validation batches stream "
+                        "host-side every eval epoch)")
+    p.add_argument("--eval-every", type=int, default=None,
+                   help="validate every N epochs")
+    p.add_argument("--save-every", type=int, default=None,
+                   help="periodic full-state checkpoint every N epochs")
+    p.add_argument("--warm-up", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
     p.add_argument("--synthetic", type=int, default=0, metavar="N",
                    help="generate an N-molecule synthetic corpus if the "
                         "data path is missing")
@@ -97,6 +107,16 @@ def main(argv=None) -> int:
         cfg.pack_cache_max_mols = args.pack_cache_max_mols
     if args.narrow_cache is not None:
         cfg.narrow_cache = args.narrow_cache
+    if args.valid_size is not None:
+        cfg.valid_size = args.valid_size
+    if args.eval_every is not None:
+        cfg.eval_every_epochs = args.eval_every
+    if args.save_every is not None:
+        cfg.save_every_epochs = args.save_every
+    if args.warm_up is not None:
+        cfg.warm_up = args.warm_up
+    if args.seed is not None:
+        cfg.seed = args.seed
     if args.profile_dir:
         cfg.profile_dir = args.profile_dir
     if args.resume:

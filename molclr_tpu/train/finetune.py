@@ -779,17 +779,26 @@ def run_all_targets(cfg: FineTuneConfig, log=print) -> list[dict]:
 
 
 def _append_experiments_csv(cfg: FineTuneConfig, results: list[dict]):
-    """Append per-target results, reference-style (finetune.py:501-506)."""
+    """Append per-target results, reference-style (finetune.py:501-506:
+    pandas to_csv append, no header/index). csv.writer matches pandas's
+    quoting: unquoted for plain values, quoted when the target name
+    itself contains commas — which SIDER's do ('Neoplasms benign,
+    malignant and unspecified (incl cysts and polyps)'); a bare f-string
+    join silently corrupted those rows (caught by the 13-task dress
+    rehearsal, runs/dress_rehearsal.py)."""
+    import csv as _csv
+
     os.makedirs("experiments", exist_ok=True)
     out = os.path.join(
         "experiments",
         f"{os.path.basename(cfg.pretrained) or 'scratch'}_"
         f"{cfg.task_name}_finetune.csv")
-    with open(out, "a") as f:
+    with open(out, "a", newline="") as f:
+        w = _csv.writer(f)
         for r in results:
-            row = f"{r['target']},{r['test_metric']}"
+            row = [r["target"], r["test_metric"]]
             if "test_std" in r:
-                row += f",{r['test_std']}"
+                row.append(r["test_std"])
             if r.get("synthetic"):
-                row += ",synthetic=true"
-            f.write(row + "\n")
+                row.append("synthetic=true")
+            w.writerow(row)

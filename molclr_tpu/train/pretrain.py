@@ -729,19 +729,16 @@ class Pretrainer:
 
     def _unit_narrow_map(self, uspec):
         """Narrow wire dtypes for a unit stack, or None. cfg.narrow_cache:
-        'auto' narrows only when the FULL-WIDTH stack would exceed the
-        HBM budget (i.e. when narrowing is the difference between
-        resident and streaming — the 2.4x byte cut makes a PubChem-10M
-        unit stack fit one v5e's HBM); 'on'/'off' force."""
+        'auto'/'on' narrow whenever the unit spec fits the wire dtypes —
+        narrow is a PURE win on TPU: 2.4x fewer HBM bytes (what makes a
+        PubChem-10M unit stack fit one v5e) AND the per-step unit-row
+        takes move fewer bytes (measured 2.3x faster than full width,
+        runs/r5_experiments.json concat_units_{narrow,wide}_ms); the
+        widen-after-take is exact. 'off' forces full width."""
         cfg = self.cfg
         if cfg.narrow_cache == "off":
             return None
-        wire = self._wire_dtypes(uspec)
-        if wire is None:
-            return None
-        if cfg.narrow_cache == "on":
-            return wire
-        return wire if cfg.narrow_cache == "auto" else None
+        return self._wire_dtypes(uspec)
 
     def _maybe_upload_units(self, log) -> bool:
         """Pack the train split into tile-units and upload the [U, ...]
@@ -789,10 +786,6 @@ class Pretrainer:
                     return False
                 wide_mb = unit_stack_bytes(uspec, u) / 2**20
                 narrow = self._unit_narrow_map(uspec)
-                if (narrow is not None and cfg.narrow_cache == "auto"
-                        and self._device_cache_used_mb + wide_mb
-                        <= cfg.device_cache_mb):
-                    narrow = None      # full width fits: skip the widen
                 total_mb = unit_stack_bytes(uspec, u, narrow) / 2**20
                 if (self._device_cache_used_mb + total_mb
                         > cfg.device_cache_mb):
@@ -819,8 +812,7 @@ class Pretrainer:
                     log(f"{u} tile-units < {s_epoch} steps/epoch; "
                         f"falling back to the frozen batch cache")
                     return False
-                narrow = self._unit_narrow_map(uspec) \
-                    if cfg.narrow_cache == "on" else None
+                narrow = self._unit_narrow_map(uspec)
                 if narrow is not None:
                     stack = {f: np.asarray(getattr(stack, f)).astype(d)
                              for f, d in narrow.items()}

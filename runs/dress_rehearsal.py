@@ -88,17 +88,18 @@ def main() -> int:
         # experiments CSV conformance (reference finetune.py:501-506)
         exp = os.path.join("experiments", f"scratch_{name}_finetune.csv")
         assert os.path.exists(exp), exp
-        with open(exp) as f:
-            lines = [ln.strip() for ln in f if ln.strip()]
-        tail = lines[-n_tgt:]
-        tgts = [ln.split(",")[0] for ln in tail]
+        import csv as _csv
+
+        with open(exp, newline="") as f:
+            rows = [r for r in _csv.reader(f) if r]
+        tail = rows[-n_tgt:]
+        tgts = [r[0] for r in tail]
         assert tgts == [r["target"] for r in results], (name, tgts)
-        for ln in tail:
-            parts = ln.split(",")
-            float(parts[1])                       # target,metric
-            assert parts[-1] == "synthetic=true", ln
+        for r in tail:
+            float(r[1])                           # target,metric
+            assert r[-1] == "synthetic=true", r
             if args.n_seeds > 1:
-                float(parts[2])                   # ,std
+                float(r[2])                       # ,std
         summary["tasks"][name] = {
             "targets": n_tgt,
             "metric": spec.metric,

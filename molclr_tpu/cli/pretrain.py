@@ -52,6 +52,11 @@ def main(argv=None) -> int:
     p.add_argument("--save-every", type=int, default=None,
                    help="periodic full-state checkpoint every N epochs")
     p.add_argument("--warm-up", type=int, default=None)
+    p.add_argument("--stop-after-epoch", type=int, default=None,
+                   help="break after this many epochs WITHOUT changing "
+                        "the baked --epochs schedule (forces a full-state "
+                        "checkpoint; --resume latest continues the same "
+                        "cosine to --epochs)")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--synthetic", type=int, default=0, metavar="N",
                    help="generate an N-molecule synthetic corpus if the "
@@ -115,6 +120,8 @@ def main(argv=None) -> int:
         cfg.save_every_epochs = args.save_every
     if args.warm_up is not None:
         cfg.warm_up = args.warm_up
+    if args.stop_after_epoch is not None:
+        cfg.stop_after_epochs = args.stop_after_epoch
     if args.seed is not None:
         cfg.seed = args.seed
     if args.profile_dir:

@@ -88,6 +88,14 @@ class PretrainConfig:
     pad_slack: float = 1.1          # capped at 1.05 under pad_sizing='total'
     eval_every_epochs: int = 1
     save_every_epochs: int = 5      # molclr.py:142-143
+    stop_after_epochs: int = 0      # > 0: break the epoch loop after this
+                                    # many epochs WITHOUT changing the
+                                    # baked cfg.epochs schedule (a
+                                    # full-state checkpoint is forced at
+                                    # the stop) — planned mid-campaign
+                                    # interruption; resume with
+                                    # --resume latest continues the SAME
+                                    # cosine schedule to cfg.epochs
     log_every_steps: int = 50       # molclr.py:116
     ckpt_dir: str = "runs/pretrain"
     resume_from: str = ""           # config.yaml load_model

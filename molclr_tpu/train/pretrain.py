@@ -1205,9 +1205,14 @@ class Pretrainer:
                             {"params": self.state.params,
                              "batch_stats": self.state.batch_stats},
                             force=True)
-                if (epoch + 1) % cfg.save_every_epochs == 0 and is_main:
+                stopping = (cfg.stop_after_epochs
+                            and epoch + 1 >= cfg.stop_after_epochs
+                            and epoch + 1 < cfg.epochs)
+                if ((epoch + 1) % cfg.save_every_epochs == 0 or stopping) \
+                        and is_main:
                     # periodic checkpoints carry the FULL train state so resume
-                    # continues the optimizer/schedule (unlike the reference)
+                    # continues the optimizer/schedule (unlike the reference);
+                    # a planned stop (cfg.stop_after_epochs) always saves
                     saved = ckpt_lib.save_checkpoint(
                         cfg.ckpt_dir, int(self.state.step),
                         {"params": self.state.params,
@@ -1221,6 +1226,19 @@ class Pretrainer:
                         json.dump({"adam_impl": cfg.adam_impl}, f)
                 history.append(record)
                 writer.record(record)
+                if stopping:
+                    log(f"stop_after_epochs={cfg.stop_after_epochs}: "
+                        f"breaking at epoch {epoch} (schedule baked for "
+                        f"{cfg.epochs} epochs; resume continues it)")
+                    writer.scalars(int(self.state.step),
+                                   train_loss=train_loss,
+                                   cosine_lr_decay=float(
+                                       self.schedule(int(self.state.step))),
+                                   validation_loss=record.get(
+                                       "valid_loss", float("nan")),
+                                   edges_per_sec=record["edges_per_sec"])
+                    log(f"epoch {epoch}: {record}")
+                    break
                 writer.scalars(int(self.state.step),
                                train_loss=train_loss,
                                cosine_lr_decay=float(

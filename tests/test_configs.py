@@ -166,3 +166,67 @@ class TestMetricWriter:
         tb = [f for f in tmp_path.iterdir()
               if "tfevents" in f.name]
         assert tb, "no TensorBoard event file written"
+
+
+class TestExperimentsCsvSchema:
+    """Experiments CSV conformance with the reference convention
+    (finetune.py:501-506, pandas to_csv append): target,metric[,std]
+    [,synthetic=true] rows, with pandas-style quoting for targets that
+    THEMSELVES contain commas (SIDER's 'Neoplasms benign, malignant and
+    unspecified (incl cysts and polyps)' — a bare join corrupted these,
+    caught by runs/dress_rehearsal.py)."""
+
+    def test_comma_bearing_target_roundtrips(self, tmp_path, monkeypatch):
+        import csv
+
+        from molclr_tpu.train.config import FineTuneConfig
+        from molclr_tpu.train.finetune import _append_experiments_csv
+
+        monkeypatch.chdir(tmp_path)
+        cfg = FineTuneConfig(task_name="SIDER", pretrained="")
+        tgt = ("Neoplasms benign, malignant and unspecified "
+               "(incl cysts and polyps)")
+        _append_experiments_csv(cfg, [
+            {"target": tgt, "test_metric": 0.75, "test_std": 0.01,
+             "synthetic": True},
+            {"target": "Cardiac disorders", "test_metric": 0.5},
+        ])
+        with open(tmp_path / "experiments"
+                  / "scratch_SIDER_finetune.csv", newline="") as f:
+            rows = [r for r in csv.reader(f) if r]
+        assert rows[0] == [tgt, "0.75", "0.01", "synthetic=true"]
+        assert rows[1] == ["Cardiac disorders", "0.5"]
+
+    def test_pathological_task_csv_schema(self, tmp_path):
+        """write_task_csv(pathologies=True): exact target headers, the
+        _synthetic marker, per-column missing labels ONLY on multi-task
+        classification (so regression keeps coinciding rows for the
+        vmapped multi-target program), and unparseable SMILES rows that
+        the reader drops."""
+        import csv
+
+        from molclr_tpu.data.loader import read_task_csv
+        from molclr_tpu.data.synthetic import write_task_csv
+        from molclr_tpu.data.tasks import TASKS
+
+        spec = TASKS["ClinTox"]
+        path = str(tmp_path / "clintox.csv")
+        write_task_csv(path, spec, n=150, seed=3, pathologies=True)
+        with open(path, newline="") as f:
+            header = next(csv.reader(f))
+        assert header == ["mol_id", "name", "smiles", "_synthetic",
+                          *spec.targets]
+        rows = {}
+        for t in spec.targets:
+            smiles, labels = read_task_csv(path, t, spec.task)
+            rows[t] = smiles
+            assert len(labels) == len(smiles) > 0
+        # per-column missing patterns differ -> row sets differ
+        assert rows[spec.targets[0]] != rows[spec.targets[1]]
+
+        rspec = TASKS["qm8"]
+        rpath = str(tmp_path / "qm8.csv")
+        write_task_csv(rpath, rspec, n=80, seed=3, pathologies=True)
+        rrows = [read_task_csv(rpath, t, rspec.task)[0]
+                 for t in rspec.targets[:3]]
+        assert rrows[0] == rrows[1] == rrows[2]   # fully labeled

@@ -614,3 +614,52 @@ class TestDpScheduleSteps:
         # and the phase actually decays over the run (epoch 3 of 4 with
         # warm_up 1 sits at 0.25 x base)
         assert lrs["single"][-1] < 0.3 * 5e-4
+
+
+class TestPlannedStopResume:
+    """stop_after_epochs (planned mid-campaign interruption): the baked
+    cosine schedule is for cfg.epochs, the stop forces a full-state
+    checkpoint, and a resumed run reproduces the uninterrupted loss
+    history EXACTLY (schedule position, optimizer moments, composition
+    stream) — the recipe the 100-epoch 10M campaign uses to split across
+    TPU attaches."""
+
+    def test_stop_resume_matches_uninterrupted(self, tmp_path):
+        base = dict(batch_size=32, epochs=6, warm_up=1, model=SMALL,
+                    aug="node", valid_size=0.1, seed=0,
+                    featurize_processes=0, eval_every_epochs=100)
+        smiles = synthetic_corpus(300, seed=2)
+
+        cfg_a = PretrainConfig(save_every_epochs=100,
+                               ckpt_dir=str(tmp_path / "a"), **base)
+        pa = Pretrainer(cfg_a).setup_data(smiles)
+        pa.setup_state(next(iter(pa.train_iter))[0])
+        hist_a = pa.train(log=lambda *_: None)
+        assert len(hist_a) == 6
+
+        cfg_b1 = PretrainConfig(save_every_epochs=100,
+                                stop_after_epochs=3,
+                                ckpt_dir=str(tmp_path / "b"), **base)
+        pb1 = Pretrainer(cfg_b1).setup_data(smiles)
+        pb1.setup_state(next(iter(pb1.train_iter))[0])
+        hist_b1 = pb1.train(log=lambda *_: None)
+        assert len(hist_b1) == 3            # stopped after 3 epochs
+
+        from molclr_tpu.train.checkpoints import latest_checkpoint
+
+        ckpt = latest_checkpoint(str(tmp_path / "b"))
+        assert ckpt is not None             # stop forced a checkpoint
+        cfg_b2 = PretrainConfig(save_every_epochs=100,
+                                ckpt_dir=str(tmp_path / "b2"),
+                                resume_from=ckpt, **base)
+        pb2 = Pretrainer(cfg_b2).setup_data(smiles)
+        pb2.setup_state(next(iter(pb2.train_iter))[0])
+        assert pb2._start_epoch == 3
+        hist_b2 = pb2.train(log=lambda *_: None)
+        assert len(hist_b2) == 3            # epochs 3..5
+
+        la = [h["train_loss"] for h in hist_a]
+        lb = [h["train_loss"] for h in hist_b1 + hist_b2]
+        np.testing.assert_allclose(lb, la, rtol=1e-6, atol=0,
+                                   err_msg="stop/resume diverged from "
+                                           "the uninterrupted campaign")

@@ -52,6 +52,11 @@ def main(argv=None) -> int:
     p.add_argument("--save-every", type=int, default=None,
                    help="periodic full-state checkpoint every N epochs")
     p.add_argument("--warm-up", type=int, default=None)
+    p.add_argument("--replan-units-every", type=int, default=None,
+                   help="re-plan the resident tile-units from a fresh "
+                        "molecule shuffle every N epochs (dissolves "
+                        "within-unit co-batching; costs one host repack "
+                        "+ upload per replan)")
     p.add_argument("--stop-after-epoch", type=int, default=None,
                    help="break after this many epochs WITHOUT changing "
                         "the baked --epochs schedule (forces a full-state "
@@ -122,6 +127,8 @@ def main(argv=None) -> int:
         cfg.warm_up = args.warm_up
     if args.stop_after_epoch is not None:
         cfg.stop_after_epochs = args.stop_after_epoch
+    if args.replan_units_every is not None:
+        cfg.replan_units_every = args.replan_units_every
     if args.seed is not None:
         cfg.seed = args.seed
     if args.profile_dir:

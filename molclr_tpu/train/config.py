@@ -120,6 +120,18 @@ class PretrainConfig:
                                     # B=512 step on v5e); the scan body
                                     # indexes ~95 KB deltas per view.
                                     # Bit-identical numerics to inline.
+    replan_units_every: int = 0     # > 0: every N epochs, re-plan the
+                                    # resident tile-units from a fresh
+                                    # molecule shuffle (repack + upload)
+                                    # so within-unit co-batching also
+                                    # dissolves — full reference
+                                    # molecule-granularity reshuffle
+                                    # semantics. Off by default: units
+                                    # already redraw all cross-unit
+                                    # pairings per epoch, and the r4
+                                    # ablation showed no measurable
+                                    # convergence gap. Resume reproduces
+                                    # the replanned stream exactly.
     fresh_compositions: bool = True # resident-cache epochs re-draw batch
                                     # MEMBERSHIP every epoch (reference
                                     # DataLoader reshuffle semantics,

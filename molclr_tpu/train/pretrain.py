@@ -740,13 +740,19 @@ class Pretrainer:
             return None
         return self._wire_dtypes(uspec)
 
-    def _maybe_upload_units(self, log) -> bool:
+    def _maybe_upload_units(self, log, plan_seed=None) -> bool:
         """Pack the train split into tile-units and upload the [U, ...]
         stack (one-time host work + one transfer). Units per step is
         chosen as U // steps_per_epoch so the number of optimizer steps
         per epoch — and therefore the baked LR schedule — is unchanged
         from the packed-batch path. Returns True when the units path is
         active.
+
+        plan_seed overrides the shuffle seed that groups molecules into
+        units (cfg.replan_units_every: periodic re-planning dissolves
+        the within-unit co-batching that otherwise persists across
+        epochs — ADVICE r4 low #4; a replan replaces the resident stack
+        and its budget accounting).
 
         Corpus-scale path: when the train split is a DiskCorpus subset
         and the native packer is available, units are planned from the
@@ -767,6 +773,11 @@ class Pretrainer:
         graphs = self.train_iter.graphs
         if len(graphs) > cfg.pack_cache_max_mols:
             return False
+        seed = cfg.seed if plan_seed is None else plan_seed
+        if self._unit_stack is not None:      # replan: release the old
+            self._device_cache_used_mb -= getattr(
+                self, "_unit_stack_mb", 0.0)
+            self._unit_stack = None
         s_epoch = max(1, len(self.train_iter))
         corpus_path = isinstance(graphs, CorpusSubset)
         try:
@@ -777,7 +788,7 @@ class Pretrainer:
                     corpus_path = False
             if corpus_path:
                 id_groups, uspec = plan_corpus_units(
-                    graphs, cfg.model.tile, cfg.max_degree, seed=cfg.seed)
+                    graphs, cfg.model.tile, cfg.max_degree, seed=seed)
                 u = len(id_groups)
                 t = u // s_epoch
                 if t < 1:
@@ -805,7 +816,7 @@ class Pretrainer:
                        f"{wide_mb:.0f} full-width)" if narrow else ""))
             else:
                 stack, uspec, units = pack_unit_stack(
-                    graphs, cfg.model.tile, cfg.max_degree, seed=cfg.seed)
+                    graphs, cfg.model.tile, cfg.max_degree, seed=seed)
                 u = len(units)
                 t = u // s_epoch
                 if t < 1:
@@ -829,6 +840,7 @@ class Pretrainer:
                 f"falling back to the frozen batch cache")
             return False
         self._unit_stack = jax.device_put(stack)
+        self._unit_stack_mb = total_mb
         self._n_units, self._units_per_batch = u, t
         # the baked LR schedule's epoch length: every epoch runs EXACTLY
         # this many steps (the permutation's surplus rows — at most
@@ -1043,6 +1055,16 @@ class Pretrainer:
                 and cfg.device_cache_mb):
             if (not cfg.data_axis and self._unit_stack is None):
                 self._maybe_upload_units(log)
+                # resume into a replanned stream: re-pack with the seed
+                # of the last replan epoch <= start_epoch so the resumed
+                # compositions match the uninterrupted run's
+                n = cfg.replan_units_every
+                if (n and self._unit_stack is not None
+                        and getattr(self, "_start_epoch", 0) >= n):
+                    last = (self._start_epoch // n) * n
+                    if last > 0 and self._maybe_upload_units(
+                            log, plan_seed=cfg.seed + 7919 * last):
+                        self._units_plan_epoch = last
             elif (cfg.data_axis and self._dp_unit_stack is None
                   and self._dp_multi_units is not None):
                 self._maybe_upload_units_dp(log)
@@ -1057,6 +1079,19 @@ class Pretrainer:
                 t0 = time.time()
                 losses = []
                 pending = []
+                n_rp = cfg.replan_units_every
+                if (self._unit_stack is not None and n_rp and epoch > 0
+                        and epoch % n_rp == 0
+                        and getattr(self, "_units_plan_epoch", 0)
+                        != epoch):
+                    # periodic unit RE-PLANNING: a fresh molecule shuffle
+                    # dissolves within-unit co-batching (the reference
+                    # DataLoader reshuffles at MOLECULE granularity;
+                    # ADVICE r4 low #4). Off by default — a replan costs
+                    # one host repack + upload (75 s + ~2 min at 10M).
+                    if self._maybe_upload_units(
+                            log, plan_seed=cfg.seed + 7919 * epoch):
+                        self._units_plan_epoch = epoch
                 if self._dp_unit_stack is not None:
                     # DP fresh-composition epoch: per-device unit
                     # selections, one [n_dev, S, T] index upload per

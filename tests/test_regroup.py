@@ -437,3 +437,58 @@ class TestNarrowUnitStack:
             hist[mode] = [e["train_loss"] for e in h]
             assert all(np.isfinite(hist[mode]))
         assert hist["on"] == hist["off"]
+
+
+class TestReplanUnits:
+    """cfg.replan_units_every: periodic molecule-granularity re-planning
+    of the resident tile-units (ADVICE r4 low #4 — dissolves the
+    within-unit co-batching the per-epoch unit regroup cannot). The
+    stream must stay deterministic under stop/resume."""
+
+    def _cfg(self, tmp_path, name, **kw):
+        from molclr_tpu.train.config import ModelConfig, PretrainConfig
+
+        return PretrainConfig(
+            batch_size=32, epochs=6, warm_up=1, aug="node",
+            valid_size=0.1, seed=0, featurize_processes=0,
+            eval_every_epochs=100, save_every_epochs=100,
+            replan_units_every=2, ckpt_dir=str(tmp_path / name),
+            model=ModelConfig(num_layers=2, emb_dim=32, feat_dim=64,
+                              tile=64), **kw)
+
+    def test_replan_changes_compositions_and_resumes_exactly(
+            self, tmp_path):
+        from molclr_tpu.data.synthetic import synthetic_corpus
+        from molclr_tpu.train.checkpoints import latest_checkpoint
+        from molclr_tpu.train.pretrain import Pretrainer
+
+        smiles = synthetic_corpus(300, seed=2)
+
+        pa = Pretrainer(self._cfg(tmp_path, "a")).setup_data(smiles)
+        pa.setup_state(next(iter(pa.train_iter))[0])
+        hist_a = pa.train(log=lambda *_: None)
+        assert pa._units_plan_epoch == 4          # replans at 2 and 4
+        la = [h["train_loss"] for h in hist_a]
+
+        # no-replan control: the streams must actually differ after the
+        # first replan epoch (same seed => identical until epoch 2)
+        ctrl = Pretrainer(self._cfg(tmp_path, "c",
+                                    )).setup_data(smiles)
+        ctrl.cfg.replan_units_every = 0
+        ctrl.setup_state(next(iter(ctrl.train_iter))[0])
+        lc = [h["train_loss"] for h in ctrl.train(log=lambda *_: None)]
+        assert la[:2] == lc[:2]
+        assert la[2:] != lc[2:]
+
+        # stop at 3 (inside a replanned phase) + resume -> exact stream
+        pb = Pretrainer(self._cfg(tmp_path, "b",
+                                  stop_after_epochs=3)).setup_data(smiles)
+        pb.setup_state(next(iter(pb.train_iter))[0])
+        hist_b1 = pb.train(log=lambda *_: None)
+        ckpt = latest_checkpoint(str(tmp_path / "b"))
+        pb2 = Pretrainer(self._cfg(tmp_path, "b2",
+                                   resume_from=ckpt)).setup_data(smiles)
+        pb2.setup_state(next(iter(pb2.train_iter))[0])
+        hist_b2 = pb2.train(log=lambda *_: None)
+        lb = [h["train_loss"] for h in hist_b1 + hist_b2]
+        np.testing.assert_allclose(lb, la, rtol=1e-6, atol=0)

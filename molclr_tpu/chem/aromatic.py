@@ -112,6 +112,66 @@ def perceive_aromaticity(mol: Mol) -> Mol:
     return mol
 
 
+def sanitize_input_aromaticity(mol: Mol, input_aromatic: list[bool]):
+    """RDKit-sanitization parity for aromatic-WRITTEN input. Runs after
+    perceive_aromaticity; Kekulé-written input (no lowercase atoms) is
+    untouched. Mirrored bit-for-bit by sanitize_aromatic in
+    native/featurizer.cpp (pinned by tests/test_native.py).
+
+    1. An AROMATIC-typed bond outside any ring is demoted to SINGLE: the
+       implicit bond between lowercase atoms of two different rings
+       (biphenyl written ``c1ccc(cc1)c1ccccc1``) is a single bond in
+       RDKit — aromatic bond types exist only inside rings. (The
+       canonical writer already emits the mandatory ``-`` for a single
+       bond between aromatic atoms, so round-trips stay stable.)
+    2. A lowercase atom in no ring at all is invalid (``cc``): RDKit's
+       sanitization rejects non-ring aromatic atoms.
+    3. A standalone plain-carbon aromatic-written ring must satisfy
+       4n+2 (``c1ccc1``, ``c1ccccccc1``: RDKit kekulization/sanitization
+       fails). Checked only in the unambiguous case — an isolated
+       (non-fused) neutral all-carbon ring with no exocyclic multiple
+       bonds, where every atom contributes exactly one pi electron
+       under ANY aromaticity model — so no molecule RDKit accepts can
+       be rejected here.
+
+    Returns an error message, or None if the molecule is valid.
+    """
+    if not any(input_aromatic):
+        return None
+    for b, in_ring in zip(mol.bonds, mol.ring_bond_flags()):
+        if b.bond_type == BondType.AROMATIC and not in_ring:
+            b.bond_type = BondType.SINGLE
+    ring_atom = mol.ring_atom_flags()
+    for i, arom in enumerate(input_aromatic):
+        if arom and not ring_atom[i]:
+            return f"aromatic atom {i} not in a ring"
+    rings = mol.sssr()
+    n_memberships = [0] * mol.num_atoms
+    for ring in rings:
+        for a in ring:
+            n_memberships[a] += 1
+    multiple = {BondType.DOUBLE, BondType.TRIPLE}
+    for ring in rings:
+        if not all(input_aromatic[a]
+                   and mol.atoms[a].atomic_num == 6
+                   and mol.atoms[a].formal_charge == 0
+                   and n_memberships[a] == 1
+                   for a in ring):
+            continue
+        if len(ring) > MAX_AROMATIC_RING:
+            # both featurizers cap ring perception at MAX_AROMATIC_RING;
+            # keep the validation cap identical so they stay bit-parity
+            continue
+        if any(b.bond_type in multiple
+               for a in ring for b in mol.bonds
+               if b.a1 == a or b.a2 == a):
+            continue
+        if len(ring) % 4 != 2:
+            return (f"{len(ring)}-membered aromatic carbon ring "
+                    f"violates 4n+2")
+    return None
+
+
 _MAX_FUSED_RINGS = 10    # envelope subsets enumerated per fused component
 
 

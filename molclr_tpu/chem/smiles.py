@@ -160,9 +160,17 @@ def _parse(s: str) -> Mol:
         raise SmilesError(f"unclosed branch in {s!r}")
     if mol.num_atoms == 0:
         raise SmilesError(f"empty SMILES {s!r}")
-    from molclr_tpu.chem.aromatic import perceive_aromaticity
+    from molclr_tpu.chem.aromatic import (
+        perceive_aromaticity,
+        sanitize_input_aromaticity,
+    )
 
-    return perceive_aromaticity(mol)
+    input_aromatic = [a.is_aromatic for a in mol.atoms]
+    mol = perceive_aromaticity(mol)
+    err = sanitize_input_aromaticity(mol, input_aromatic)
+    if err:
+        raise SmilesError(f"{err} in {s!r}")
+    return mol
 
 
 def _parse_bracket(body: str, full: str) -> Atom:

@@ -698,6 +698,103 @@ void perceive_aromaticity(Mol& m) {
   }
 }
 
+// RDKit-sanitization parity for aromatic-WRITTEN input (mirrors
+// chem/aromatic.py sanitize_input_aromaticity; runs after
+// perceive_aromaticity). Demotes AROMATIC-typed bonds outside any ring
+// to SINGLE (biphenyl written c1ccc(cc1)c1ccccc1: RDKit reports a
+// single linker bond), rejects lowercase atoms in no ring ("cc"), and
+// rejects standalone plain-carbon aromatic rings violating 4n+2
+// ("c1ccc1"). Returns false iff the input is invalid.
+bool sanitize_aromatic(Mol& m, const bool* input_aromatic) {
+  int n = m.n_atoms;
+  bool ring_bond[MAX_BONDS];
+  bool ring_atom[MAX_ATOMS];
+  memset(ring_atom, 0, sizeof(bool) * n);
+
+  // ring-bond flag: bi lies on a cycle iff its endpoints stay connected
+  // with bi removed (same BFS as the SSSR builder above); collect the
+  // deduplicated shortest rings for the 4n+2 check as we go
+  static thread_local int rings_buf[MAX_SSSR][MAX_RING];
+  static thread_local int ring_key[MAX_SSSR][MAX_RING];
+  int ring_len[MAX_SSSR];
+  int n_rings = 0;
+  for (int bi = 0; bi < m.n_bonds; ++bi) {
+    int a1 = m.bonds[bi].a1, a2 = m.bonds[bi].a2;
+    int prev[MAX_ATOMS];
+    for (int i = 0; i < n; ++i) prev[i] = -2;
+    int q[MAX_ATOMS];
+    int qh = 0, qt = 0;
+    prev[a1] = -1;
+    q[qt++] = a1;
+    while (qh < qt && prev[a2] == -2) {
+      int u = q[qh++];
+      for (int bj = 0; bj < m.n_bonds; ++bj) {
+        if (bj == bi) continue;
+        const Bond& b = m.bonds[bj];
+        int v;
+        if (b.a1 == u) v = b.a2;
+        else if (b.a2 == u) v = b.a1;
+        else continue;
+        if (prev[v] != -2) continue;
+        prev[v] = u;
+        q[qt++] = v;
+      }
+    }
+    ring_bond[bi] = prev[a2] != -2;
+    if (!ring_bond[bi]) continue;
+    ring_atom[a1] = ring_atom[a2] = true;
+    int path[MAX_ATOMS];
+    int plen = 0;
+    for (int u = a2; u != -1; u = prev[u]) path[plen++] = u;
+    for (int k = 0; k < plen; ++k) ring_atom[path[k]] = true;
+    if (plen < 3 || plen > MAX_RING || n_rings >= MAX_SSSR) continue;
+    int key[MAX_RING];
+    memcpy(key, path, plen * sizeof(int));
+    for (int x = 1; x < plen; ++x) {
+      int v = key[x], y = x - 1;
+      while (y >= 0 && key[y] > v) { key[y + 1] = key[y]; y--; }
+      key[y + 1] = v;
+    }
+    bool dup = false;
+    for (int r = 0; r < n_rings && !dup; ++r)
+      dup = ring_len[r] == plen &&
+            memcmp(ring_key[r], key, plen * sizeof(int)) == 0;
+    if (dup) continue;
+    memcpy(rings_buf[n_rings], path, plen * sizeof(int));
+    memcpy(ring_key[n_rings], key, plen * sizeof(int));
+    ring_len[n_rings++] = plen;
+  }
+
+  for (int bi = 0; bi < m.n_bonds; ++bi)
+    if (m.bonds[bi].type == B_AROMATIC && !ring_bond[bi])
+      m.bonds[bi].type = B_SINGLE;
+
+  for (int a = 0; a < n; ++a)
+    if (input_aromatic[a] && !ring_atom[a]) return false;
+
+  int n_memberships[MAX_ATOMS];
+  memset(n_memberships, 0, sizeof(int) * n);
+  for (int r = 0; r < n_rings; ++r)
+    for (int k = 0; k < ring_len[r]; ++k) n_memberships[rings_buf[r][k]]++;
+  for (int r = 0; r < n_rings; ++r) {
+    bool plain = true;
+    for (int k = 0; k < ring_len[r] && plain; ++k) {
+      int a = rings_buf[r][k];
+      const Atom& at = m.atoms[a];
+      plain = input_aromatic[a] && at.z == 6 && at.charge == 0 &&
+              n_memberships[a] == 1;
+      for (int bj = 0; bj < m.n_bonds && plain; ++bj) {
+        const Bond& b = m.bonds[bj];
+        if ((b.a1 == a || b.a2 == a) &&
+            (b.type == B_DOUBLE || b.type == B_TRIPLE))
+          plain = false;
+      }
+    }
+    if (plain && ring_len[r] % 4 != 2) return false;
+  }
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -713,7 +810,14 @@ int mtpu_featurize(const char* smiles, int add_hs,
                    int32_t max_atoms, int32_t max_bonds) {
   Mol m;
   if (!parse_smiles(smiles, m)) return -1;
+  bool input_aromatic[MAX_ATOMS];
+  bool any_aromatic = false;
+  for (int a = 0; a < m.n_atoms; ++a) {
+    input_aromatic[a] = m.atoms[a].aromatic;
+    any_aromatic |= input_aromatic[a];
+  }
   perceive_aromaticity(m);
+  if (any_aromatic && !sanitize_aromatic(m, input_aromatic)) return -1;
 
   int base_atoms = m.n_atoms;
   if (add_hs) {

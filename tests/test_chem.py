@@ -170,6 +170,55 @@ class TestCanonical:
         assert len(keys) == len(mols)
 
 
+class TestAromaticSanitize:
+    """RDKit-sanitization parity for aromatic-WRITTEN input
+    (chem/aromatic.py sanitize_input_aromaticity)."""
+
+    def test_biphenyl_implicit_linker_is_single(self):
+        # RDKit types the bond between two aromatic rings SINGLE even
+        # when the SMILES omits the '-'; aromatic bonds exist only
+        # inside rings
+        from molclr_tpu.chem.mol import BondType
+
+        m = parse_smiles("c1ccc(cc1)c1ccccc1")
+        nonring = [b.bond_type
+                   for b, rf in zip(m.bonds, m.ring_bond_flags())
+                   if not rf]
+        assert nonring == [BondType.SINGLE]
+
+    def test_biphenyl_spellings_canonicalize_equal(self):
+        keys = {canonical_smiles(parse_smiles(s))
+                for s in ["c1ccc(cc1)c1ccccc1", "c1ccc(cc1)-c1ccccc1",
+                          "C1=CC=C(C=C1)C1=CC=CC=C1"]}
+        assert len(keys) == 1
+
+    @pytest.mark.parametrize("bad", [
+        "cc",            # aromatic atoms outside any ring
+        "cC",
+        "c1ccc1",        # 4 pi electrons: RDKit sanitization fails
+        "c1cc1",
+        "c1ccccccc1",    # 8 pi
+        "c1cc1C",
+    ])
+    def test_invalid_aromatic_rejected(self, bad):
+        assert parse_smiles(bad, strict=False) is None
+        with pytest.raises(Exception):
+            parse_smiles(bad, strict=True)
+
+    @pytest.mark.parametrize("good", [
+        "c1ccccc1",
+        "c1ccc2ccccc2c1",              # naphthalene (fused: exempt)
+        "c1ccc-2c(c1)-c1ccccc1-2",     # biphenylene envelope
+        "c1cc2ccc3cccc4ccc(c1)c2c34",  # pyrene
+        "[O-]c1ccccc1",                # charged: exempt from the check
+        "c1cc[nH]c1",                  # heteroatom: exempt
+        "C1=CC=C1",                    # Kekulé cyclobutadiene stays valid
+        "Cc1ccccc1c1ccccc1C",
+    ])
+    def test_valid_aromatic_kept(self, good):
+        assert parse_smiles(good, strict=False) is not None
+
+
 class TestScaffold:
     def test_toluene_to_benzene(self):
         tol = murcko_scaffold_smiles(parse_smiles("Cc1ccccc1"))

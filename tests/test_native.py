@@ -59,6 +59,24 @@ class TestParity:
         for bad in ["", "C1CC", "((", "[Zz]", "xyz", "c1ccccc1c1"]:
             assert featurize_smiles_native(bad) is None
 
+    @pytest.mark.parametrize("smiles", [
+        # sanitize_aromatic parity (biphenyl implicit linker -> SINGLE,
+        # non-Hückel aromatic-written rings -> rejected on BOTH sides)
+        "c1ccc(cc1)c1ccccc1",
+        "c1ccc(cc1)-c1ccccc1",
+        "Cc1ccccc1c1ccccc1C",
+        "c1ccc(cc1)c1ccncc1",
+        "c1ccc-2c(c1)-c1ccccc1-2",
+        "c1ccc1", "cc", "c1ccccccc1", "c1cc1C",
+    ])
+    def test_aromatic_sanitize_parity(self, smiles):
+        py = featurize_smiles(smiles)
+        cc = featurize_smiles_native(smiles)
+        if py is None:
+            assert cc is None, smiles
+        else:
+            assert_graph_equal(cc, py, smiles)
+
     def test_batch_api(self):
         corpus = synthetic_corpus(200, seed=3) + ["not_valid(("]
         out = featurize_corpus_native(corpus)

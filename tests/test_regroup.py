@@ -5,6 +5,7 @@ correctly through the model, and re-draw batch memberships per epoch."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from molclr_tpu.data import featurize_smiles
 from molclr_tpu.data.graphs import concat_shards
@@ -437,6 +438,23 @@ class TestNarrowUnitStack:
             hist[mode] = [e["train_loss"] for e in h]
             assert all(np.isfinite(hist[mode]))
         assert hist["on"] == hist["off"]
+
+
+class TestPlanCorpusUnitsDegenerate:
+    def test_empty_subset_raises_value_error(self, tmp_path):
+        """Empty subsets must raise ValueError (NOT IndexError from
+        reduceat on an empty array) so the trainer's host-streaming
+        fallback catch applies."""
+        from molclr_tpu.data.corpus import CorpusSubset, build_corpus
+        from molclr_tpu.data.corpus import DiskCorpus
+        from molclr_tpu.data.regroup import plan_corpus_units
+        from molclr_tpu.data.synthetic import synthetic_corpus
+
+        d = str(tmp_path / "c")
+        build_corpus(iter(synthetic_corpus(5, seed=0)), d)
+        sub = CorpusSubset(DiskCorpus(d), np.array([], np.int64))
+        with pytest.raises(ValueError):
+            plan_corpus_units(sub, 64)
 
 
 class TestReplanUnits:

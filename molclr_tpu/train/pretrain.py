@@ -1012,13 +1012,20 @@ class Pretrainer:
             over = (self._device_cache_used_mb + total_mb
                     > self.cfg.device_cache_mb)
             if over:
-                return float(np.mean(losses)) if losses else float("nan")
+                return (float(np.float32(np.mean(losses))) if losses
+                        else float("nan"))
             self._device_cache_used_mb += total_mb
             stacked = jax.tree_util.tree_map(
                 lambda *xs: np.stack(xs, axis=0),
                 *[gb for gb, _, _ in cache])
             self._eval_stack = jax.device_put(stacked)
-        return float(np.mean(losses)) if losses else float("nan")
+        # float32 cast: the resident path (_eval_multi) reduces in f32 on
+        # device; casting the host path's f64 mean keeps a process's
+        # FIRST validation (cache not yet resident — epoch 0, or the
+        # first epoch after a resume) bit-comparable with steady-state
+        # records
+        return (float(np.float32(np.mean(losses))) if losses
+                else float("nan"))
 
     def train(self, log=print):
         cfg = self.cfg
